@@ -1,0 +1,180 @@
+"""Configuration dataclasses.
+
+Replaces the reference's in-script constant blocks and integer experiment
+selectors (ref: ice_exp.py:64-87) with hashable frozen dataclasses that can be
+passed as jit static arguments. Every field that shapes the compiled program
+(image shape, capacities, depths, timesteps) lives here so one config maps to
+one XLA executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+# Split conditions, mirroring the reference registry
+# (ref: model/graph_functions.py:15-20).
+CONDITIONS = (
+    "max_larger_than",
+    "max_smaller_than",
+    "min_larger_than",
+    "min_smaller_than",
+)
+
+NEG_INF = float("-inf")
+
+
+def _is_power_of_two(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Static-shape description of the quadtree graph program.
+
+    The reference builds graphs with data-dependent node/edge counts and a
+    host round-trip per remesh (ref: model/graph_functions.py:590-681,
+    :636). Here every graph tensor has a fixed capacity: ``n_max`` node slots
+    and ``e_max`` directed-edge slots, with validity masks. That makes the
+    whole decompose → map → adjacency pipeline a single statically-shaped XLA
+    program that can run inside ``lax.scan`` (per-step remeshing stays
+    on-device and jit-compiled).
+
+    Attributes:
+      image_shape: (rows, cols) of the field.
+      max_grid_size: base-grid cell size, power of two
+        (ref: graph_functions.py:176).
+      thresh: split threshold; ``-inf`` selects the pixelwise path
+        (ref: graph_functions.py:629-630).
+      condition: split criterion name (ref: graph_functions.py:228-235).
+      padding: extra halo when evaluating split criteria
+        (ref: graph_functions.py:222-225).
+      edges_at_corners: 8-neighbour adjacency (ref: graph_functions.py:319-327).
+      use_edge_attrs: 2-feature (bearing, distance) edge attributes vs a
+        single distance weight (ref: graph_functions.py:347-353).
+      resolution: physical size of one pixel (ref: graph_functions.py:609).
+      n_max / e_max: node / edge capacities. Defaults are exact worst cases
+        (every pixel a node; all 4/8-neighbour directed pixel pairs).
+    """
+
+    image_shape: Tuple[int, int]
+    max_grid_size: int = 8
+    thresh: float = 0.05
+    condition: str = "max_larger_than"
+    padding: int = 0
+    edges_at_corners: bool = False
+    use_edge_attrs: bool = True
+    resolution: float = 0.25
+    n_max: Optional[int] = None
+    e_max: Optional[int] = None
+
+    def __post_init__(self):
+        assert _is_power_of_two(self.max_grid_size), (
+            f"max_grid_size must be a power of two, got {self.max_grid_size}"
+        )
+        assert self.condition in CONDITIONS, self.condition
+        if self.n_max is None:
+            object.__setattr__(self, "n_max", self.num_pixels)
+        if self.e_max is None:
+            object.__setattr__(self, "e_max", self.num_pixels * self.num_dirs)
+
+    # -- derived static quantities ------------------------------------------------
+
+    @property
+    def rows(self) -> int:
+        return self.image_shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.image_shape[1]
+
+    @property
+    def num_pixels(self) -> int:
+        return self.rows * self.cols
+
+    @property
+    def num_dirs(self) -> int:
+        return 8 if self.edges_at_corners else 4
+
+    @property
+    def depth(self) -> int:
+        """Number of split levels: cells go max_grid_size → 1."""
+        return int(math.log2(self.max_grid_size))
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        g = self.max_grid_size
+        return (-(-self.rows // g) * g, -(-self.cols // g) * g)
+
+    @property
+    def pixelwise(self) -> bool:
+        return self.thresh == NEG_INF
+
+    @property
+    def edge_dim(self) -> int:
+        return 2 if self.use_edge_attrs else 1
+
+    def replace(self, **kw) -> "GraphConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Seq2Seq architecture hyper-parameters (ref: model/seq2seq.py:190-239).
+
+    ``input_features`` counts raw channels only; positional encoding (2) and
+    node size (1) are appended internally, mirroring
+    ref: model/mpnnlstm.py:124.
+    """
+
+    hidden_size: int = 32
+    dropout: float = 0.1
+    input_features: int = 1
+    input_timesteps: int = 3
+    output_timesteps: int = 5
+    n_layers: int = 1
+    n_conv_layers: int = 3
+    convolution_type: str = "GCNConv"
+    rnn_type: str = "LSTM"
+    binary: bool = False
+    dummy: bool = False
+    remesh_input: bool = False
+    remesh_every: int = 1
+    concat_layers_dim: int = 1
+
+    @property
+    def node_input_features(self) -> int:
+        # +2 positional encoding +1 node size (ref: mpnnlstm.py:124)
+        return self.input_features + 3
+
+    @property
+    def uses_edge_attrs(self) -> bool:
+        # Only attention convs consume 2-dim edge attributes
+        # (ref: model/seq2seq.py:244-247).
+        return self.convolution_type in (
+            "MHTransformerConv",
+            "TransformerConv",
+            "GATConv",
+        )
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation settings (ref: model/mpnnlstm.py:170-184)."""
+
+    lr: float = 0.01
+    lr_decay: float = 0.95
+    lr_decay_every_epochs: int = 3  # StepLR(step_size=3) ref: mpnnlstm.py:175
+    n_epochs: int = 20
+    clip_norm: float = 10.0  # ref: mpnnlstm.py:251
+    teacher_forcing_ratio: float = 0.0  # ref: mpnnlstm.py:237 (train uses 0)
+    truncated_backprop: int = 0  # chunk size; 0 = full BPTT
+    seed: int = 21  # ref: ice_exp.py:29-31
+    dtype: str = "float32"  # compute dtype for the model
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

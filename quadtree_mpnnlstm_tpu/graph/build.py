@@ -1,0 +1,155 @@
+"""Image → graph conversion (orchestrator).
+
+Parity target: ref model/graph_functions.py:590-681 (``image_to_graph``) and
+:506-539 (``image_to_graph_pixelwise``). Unlike the reference, everything is
+shape-static and traced: the same code runs at startup for preset meshes and
+*inside* ``lax.scan`` for per-step remeshing, with no host round-trip
+(the reference synchronises to host at graph_functions.py:636 every remesh).
+
+Contract: the incoming image stack already carries the two positional
+encoding channels as its last two channels (callers append them, mirroring
+ref seq2seq.py:267/278).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quadtree_mpnnlstm_tpu.config import GraphConfig
+from quadtree_mpnnlstm_tpu.graph.adjacency import build_adjacency
+from quadtree_mpnnlstm_tpu.graph.quadtree import decompose_levels, pixel_nodes_from_levels
+from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten
+
+
+def _node_positions(data0: jnp.ndarray, cfg: GraphConfig) -> jnp.ndarray:
+    """Node centroid (x, y) from the flattened positional-encoding channels.
+
+    xx = mean(col/cols) * cols * resolution, yy likewise for rows
+    (ref: graph_functions.py:657, :519).
+    """
+    rows, cols = cfg.image_shape
+    xx = data0[:, -2] * cols * cfg.resolution
+    yy = data0[:, -1] * rows * cfg.resolution
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def _assemble(
+    pixel_node: jnp.ndarray,
+    n_nodes: jnp.ndarray,
+    counts: jnp.ndarray,
+    img: jnp.ndarray,
+    cfg: GraphConfig,
+    cell_size_feature: jnp.ndarray,
+    dedup: bool,
+) -> Tuple[GraphTensors, jnp.ndarray]:
+    t = img.shape[0]
+    n_max = cfg.n_max
+    node_valid = jnp.arange(n_max) < jnp.minimum(n_nodes, n_max)
+
+    graph = GraphTensors(
+        pixel_node=pixel_node,
+        counts=counts,
+        n_nodes=n_nodes,
+        node_valid=node_valid,
+        edge_src=jnp.zeros((cfg.e_max,), jnp.int32),
+        edge_dst=jnp.zeros((cfg.e_max,), jnp.int32),
+        edge_valid=jnp.zeros((cfg.e_max,), bool),
+        edge_attr=jnp.zeros((cfg.e_max, cfg.edge_dim), jnp.float32),
+        n_edges=jnp.zeros((), jnp.int32),
+        node_xy=jnp.zeros((n_max, 2), jnp.float32),
+    )
+
+    data = flatten(img, graph)  # (t, n_max, c)
+    node_xy = _node_positions(data[0], cfg)
+
+    node_img = pixel_node.reshape(cfg.image_shape)
+    edge_src, edge_dst, edge_valid, edge_attr, n_edges = build_adjacency(
+        node_img, node_xy, cfg, dedup=dedup
+    )
+
+    # Append the normalised cell-size channel (ref: graph_functions.py:661-668).
+    sizes = jnp.broadcast_to(cell_size_feature[None, :, None], (t, n_max, 1))
+    data = jnp.concatenate([data, sizes.astype(data.dtype)], axis=-1)
+
+    graph = graph.replace(
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_valid=edge_valid,
+        edge_attr=edge_attr,
+        n_edges=n_edges,
+        node_xy=node_xy,
+    )
+    return graph, data
+
+
+def image_to_graph(
+    img: jnp.ndarray,
+    cfg: GraphConfig,
+    mask: Optional[jnp.ndarray] = None,
+    high_interest_region: Optional[jnp.ndarray] = None,
+    transform_func: Optional[Callable] = None,
+) -> Tuple[GraphTensors, jnp.ndarray]:
+    """Quadtree-decompose an image stack into a padded graph.
+
+    Args:
+      img: (T, rows, cols, C) with positional encoding in the last two
+        channels; channel 0 (max over T) drives the decomposition
+        (ref: graph_functions.py:632).
+
+    Returns:
+      (GraphTensors, data (T, n_max, C+1)) — last data channel is the
+      normalised cell size ``n_pixels / (max_grid_size/2)**2``
+      (ref: graph_functions.py:665).
+    """
+    assert img.ndim == 4, f"expected (T, rows, cols, C); got {img.shape}"
+    if cfg.pixelwise:
+        return pixelwise_graph(img, cfg, mask=mask)
+
+    crit = jnp.max(img[..., 0], axis=0)
+    level = decompose_levels(
+        crit,
+        cfg,
+        mask=mask,
+        high_interest_region=high_interest_region,
+        transform_func=transform_func,
+    )
+    pixel_node, n_nodes, counts = pixel_nodes_from_levels(level, cfg, mask=mask)
+
+    half_base = (cfg.max_grid_size / 2.0) ** 2
+    cell_sizes = counts / half_base
+    return _assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=True)
+
+
+def pixelwise_graph(
+    img: jnp.ndarray,
+    cfg: GraphConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[GraphTensors, jnp.ndarray]:
+    """Every valid pixel is a node (``thresh == -inf`` path).
+
+    Parity: ref graph_functions.py:506-539 — node order is raster order of
+    unmasked pixels, cell-size feature is the constant ``resolution**2``,
+    and candidate pairs are already unique so deduplication is skipped.
+    """
+    rows, cols = cfg.image_shape
+    n_max = cfg.n_max
+    p = rows * cols
+
+    if mask is not None:
+        keep = ~mask.astype(bool).reshape(-1)
+    else:
+        keep = jnp.ones((p,), dtype=bool)
+    cum = jnp.cumsum(keep.astype(jnp.int32))
+    n_nodes = cum[-1]
+    pixel_node = jnp.where(keep, cum - 1, n_max)
+    pixel_node = jnp.where(pixel_node >= n_max, n_max, pixel_node)
+
+    counts = jax.ops.segment_sum(
+        jnp.ones((p,), jnp.float32), pixel_node, num_segments=n_max + 1
+    )[:n_max]
+
+    cell_sizes = jnp.full((n_max,), cfg.resolution**2, jnp.float32)
+    return _assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=False)

@@ -1,0 +1,108 @@
+"""Padded, statically-shaped graph state.
+
+The reference stores the mesh as a PyG ``Data`` plus a dense N×P pixel↔node
+matrix rebuilt on the host each remesh (ref: model/graph_functions.py:23-33,
+:555-587, :636). On TPU that dense matmul and the host round-trip are the two
+big sins. Here the mesh is a pytree of fixed-capacity arrays:
+
+* ``pixel_node`` — int32 (P,) node id per pixel; ``n_max`` is the invalid
+  sentinel. This replaces the sparse/dense mapping matrix.
+* ``counts`` — pixels per node (the reference's ``n_pixels_per_node``).
+* edge list padded to ``e_max`` with a validity mask, sorted by destination
+  so segment reductions can assert sorted indices.
+
+``flatten`` (pixel→node mean pooling, ref: graph_functions.py:391-419)
+becomes a single ``segment_sum``; ``unflatten`` (node→pixel scatter,
+ref: graph_functions.py:451-468) becomes a gather. Both are differentiable,
+NaN-free even in padded lanes, and shape-static so they can live inside
+``lax.scan`` bodies (per-step remeshing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GraphTensors:
+    """Fixed-capacity graph: node mapping + adjacency (+ optional node data)."""
+
+    # -- pixel <-> node mapping ---------------------------------------------
+    pixel_node: jnp.ndarray  # (P,) int32 in [0, n_max]; n_max = invalid
+    counts: jnp.ndarray      # (n_max,) float32 pixels per node (0 for padding)
+    n_nodes: jnp.ndarray     # () int32 true node count (may exceed n_max => overflow)
+    node_valid: jnp.ndarray  # (n_max,) bool
+
+    # -- adjacency ------------------------------------------------------------
+    edge_src: jnp.ndarray    # (e_max,) int32 (0 where invalid)
+    edge_dst: jnp.ndarray    # (e_max,) int32, sorted ascending on valid prefix
+    edge_valid: jnp.ndarray  # (e_max,) bool
+    edge_attr: jnp.ndarray   # (e_max, edge_dim) float32, zero where invalid
+    n_edges: jnp.ndarray     # () int32
+
+    # -- geometry --------------------------------------------------------------
+    node_xy: jnp.ndarray     # (n_max, 2) physical (x, y) of node centroids
+
+    @property
+    def n_max(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def num_pixels(self) -> int:
+        return self.pixel_node.shape[0]
+
+    @property
+    def e_max(self) -> int:
+        return self.edge_src.shape[0]
+
+
+def flatten(img: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
+    """Pixel→node mean pooling.
+
+    Args:
+      img: (T, rows, cols, C) image stack.
+      graph: mesh with P = rows*cols pixels.
+    Returns:
+      (T, n_max, C) node features; padded node rows are exactly zero.
+
+    Parity: ref graph_functions.py:391-419 (``img @ mapping.T /
+    n_pixels_per_node`` dense matmul) — same means, computed as one
+    segment-sum over pixels. Masked pixels carry the sentinel id and fall
+    into a discard bucket.
+    """
+    t, rows, cols, c = img.shape
+    p = rows * cols
+    n_max = graph.n_max
+    flat = img.reshape(t, p, c).transpose(1, 0, 2).reshape(p, t * c)
+    summed = jax.ops.segment_sum(flat, graph.pixel_node, num_segments=n_max + 1)
+    summed = summed[:n_max]
+    mean = summed / jnp.maximum(graph.counts, 1.0)[:, None]
+    return mean.reshape(n_max, t, c).transpose(1, 0, 2)
+
+
+def unflatten(
+    data: jnp.ndarray,
+    graph: GraphTensors,
+    image_shape: Tuple[int, int],
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Node→pixel scatter: paint each pixel with its node's value.
+
+    Args:
+      data: (..., n_max, C) node features.
+      image_shape: (rows, cols).
+      fill: value for invalid (masked) pixels. The reference's dense-matmul
+        path writes 0 there, the pixelwise path writes NaN
+        (ref: graph_functions.py:451-468); default matches the former.
+    Returns:
+      (..., rows, cols, C).
+    """
+    rows, cols = image_shape
+    fill_row = jnp.full(data.shape[:-2] + (1, data.shape[-1]), fill, data.dtype)
+    padded = jnp.concatenate([data, fill_row], axis=-2)  # sentinel row
+    img = jnp.take(padded, graph.pixel_node, axis=-2)
+    return img.reshape(data.shape[:-2] + (rows, cols, data.shape[-1]))
