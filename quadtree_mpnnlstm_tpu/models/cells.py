@@ -1,0 +1,220 @@
+"""Graph-convolutional recurrent cells.
+
+Parity targets (ref model/model.py):
+  * ``GConvLSTM``      — peephole graph-conv LSTM (ref :263-463). Gate g ∈
+    {i, f, c, o}: ``conv_x_g(X) + conv_h_g(H) (+ w_c_g ⊙ C) + b_g``;
+    peepholes and biases zero-init (ref :375-382). Returns (O, H, C) — the
+    *output gate activation* is the cell's "output", consumed by the
+    decoder head (ref seq2seq.py:159-161).
+  * ``GConvGRU``       — Chebyshev GCRN GRU (ref :100-259).
+  * ``GConvLSTMSimple``— one conv_x/conv_h pair shared by all gates, which
+    therefore differ only by bias (ref :465-609); computed once here
+    instead of four times.
+  * ``SplitGConvLSTM`` — graph conv followed by a standard LSTM run across
+    the *node* axis with a single (1, hidden) state (ref :686-724; torch
+    treats the (N, F) input as an unbatched length-N sequence).
+  * ``DummyLSTM``      — identity (ref :17-24).
+
+TPU design: the four per-gate conv stacks over the same input are executed
+as ONE vmapped conv with a leading gate axis (params stacked on axis 0), so
+XLA sees a single batched matmul + a single batched gather/segment-sum
+instead of four narrow ones (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
+from quadtree_mpnnlstm_tpu.models.conv import GraphConv
+
+
+def gate_conv_module(
+    n_gates: int, convolution_type: str, out_channels: int, n_layers: int, name: str
+):
+    return nn.vmap(
+        GraphConv,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(None, None, None),
+        out_axes=0,
+        axis_size=n_gates,
+        methods=["__call__"],
+    )(
+        convolution_type=convolution_type,
+        out_channels=out_channels,
+        n_layers=n_layers,
+        name=name,
+    )
+
+
+class GConvLSTM(nn.Module):
+    """Peephole graph-conv LSTM (ref model/model.py:263-463)."""
+
+    out_channels: int
+    n_conv_layers: int = 1
+    convolution_type: str = "GCNConv"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        graph: GraphTensors,
+        h: jnp.ndarray,
+        c: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        d = self.out_channels
+        conv_x = gate_conv_module(
+            4, self.convolution_type, d, self.n_conv_layers, "conv_x"
+        )
+        conv_h = gate_conv_module(
+            4, self.convolution_type, d, self.n_conv_layers, "conv_h"
+        )
+        gx = conv_x(x, graph, deterministic)  # (4, N, d) — gates i, f, c, o
+        gh = conv_h(h, graph, deterministic)
+        g = gx + gh
+
+        zeros = nn.initializers.zeros
+        w_ci = self.param("w_c_i", zeros, (1, d))
+        w_cf = self.param("w_c_f", zeros, (1, d))
+        w_co = self.param("w_c_o", zeros, (1, d))
+        b_i = self.param("b_i", zeros, (1, d))
+        b_f = self.param("b_f", zeros, (1, d))
+        b_c = self.param("b_c", zeros, (1, d))
+        b_o = self.param("b_o", zeros, (1, d))
+
+        i = nn.sigmoid(g[0] + w_ci * c + b_i)
+        f = nn.sigmoid(g[1] + w_cf * c + b_f)
+        t = jnp.tanh(g[2] + b_c)
+        c_new = f * c + i * t
+        o = nn.sigmoid(g[3] + w_co * c_new + b_o)
+        h_new = o * jnp.tanh(c_new)
+        return o, h_new, c_new
+
+
+class GConvGRU(nn.Module):
+    """Graph-conv GRU (ref model/model.py:100-259). Returns (H, H, C) with C
+    passed through so state pytrees stay uniform across cell types."""
+
+    out_channels: int
+    n_conv_layers: int = 1
+    convolution_type: str = "GCNConv"
+
+    @nn.compact
+    def __call__(self, x, graph, h, c, deterministic: bool = True):
+        d = self.out_channels
+        gx = gate_conv_module(
+            3, self.convolution_type, d, self.n_conv_layers, "conv_x"
+        )(x, graph, deterministic)  # gates z, r, candidate
+        gh = gate_conv_module(
+            2, self.convolution_type, d, self.n_conv_layers, "conv_h"
+        )(h, graph, deterministic)  # gates z, r
+
+        z = nn.sigmoid(gx[0] + gh[0])
+        r = nn.sigmoid(gx[1] + gh[1])
+        h_cand = GraphConv(
+            convolution_type=self.convolution_type,
+            out_channels=d,
+            n_layers=self.n_conv_layers,
+            name="conv_h_candidate",
+        )(h * r, graph, deterministic=deterministic)
+        h_tilde = jnp.tanh(gx[2] + h_cand)
+        h_new = z * h + (1.0 - z) * h_tilde
+        return h_new, h_new, c
+
+
+class GConvLSTMSimple(nn.Module):
+    """Shared-conv LSTM variant (ref model/model.py:465-609): all four gates
+    reuse one conv_x(X)+conv_h(H) value and differ only by bias, so the
+    convolution is evaluated once."""
+
+    out_channels: int
+    n_conv_layers: int = 1
+    convolution_type: str = "GCNConv"
+
+    @nn.compact
+    def __call__(self, x, graph, h, c, deterministic: bool = True):
+        d = self.out_channels
+        gx = GraphConv(
+            convolution_type=self.convolution_type,
+            out_channels=d,
+            n_layers=self.n_conv_layers,
+            name="conv_x",
+        )(x, graph, deterministic=deterministic)
+        gh = GraphConv(
+            convolution_type=self.convolution_type,
+            out_channels=d,
+            n_layers=self.n_conv_layers,
+            name="conv_h",
+        )(h, graph, deterministic=deterministic)
+        g = gx + gh
+
+        zeros = nn.initializers.zeros
+        i = nn.sigmoid(g + self.param("b_i", zeros, (1, d)))
+        f = nn.sigmoid(g + self.param("b_f", zeros, (1, d)))
+        t = jnp.tanh(g + self.param("b_c", zeros, (1, d)))
+        c_new = f * c + i * t
+        o = nn.sigmoid(g + self.param("b_o", zeros, (1, d)))
+        h_new = o * jnp.tanh(c_new)
+        return o, h_new, c_new
+
+
+class SplitGConvLSTM(nn.Module):
+    """Graph conv feeding a standard LSTM scanned along the node axis
+    (ref model/model.py:686-724; decoupled conv/recurrence ablation). The
+    LSTM state is a single (hidden,) vector, stored broadcast across the
+    (N, hidden) state slot so the cell is shape-compatible with the others."""
+
+    out_channels: int
+    n_conv_layers: int = 1
+    convolution_type: str = "GCNConv"
+
+    @nn.compact
+    def __call__(self, x, graph, h, c, deterministic: bool = True):
+        d = self.out_channels
+        xc = GraphConv(
+            convolution_type=self.convolution_type,
+            out_channels=d,
+            n_layers=self.n_conv_layers,
+            name="conv",
+        )(x, graph, deterministic=deterministic)
+
+        lstm = nn.scan(
+            nn.OptimizedLSTMCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(features=d, name="lstm")
+        # flax LSTM carry is (c, h); scan over the node axis, unbatched.
+        (c_fin, h_fin), outputs = lstm((c[0], h[0]), xc)
+        n = xc.shape[0]
+        h_new = jnp.broadcast_to(h_fin, (n, d))
+        c_new = jnp.broadcast_to(c_fin, (n, d))
+        return outputs, h_new, c_new
+
+
+class DummyLSTM(nn.Module):
+    """Identity cell for ablations (ref model/model.py:17-24)."""
+
+    out_channels: int = 0
+    n_conv_layers: int = 0
+    convolution_type: str = "Dummy"
+
+    @nn.compact
+    def __call__(self, x, graph, h, c, deterministic: bool = True):
+        return x, h, c
+
+
+RNN_CELLS = {
+    "LSTM": GConvLSTM,
+    "GRU": GConvGRU,
+    "SimpleLSTM": GConvLSTMSimple,
+    "SplitLSTM": SplitGConvLSTM,
+    "Dummy": DummyLSTM,
+}

@@ -1,11 +1,18 @@
 """Test env: force CPU with 8 virtual devices so sharding/collective tests run
-without TPU hardware (standard JAX practice, see SURVEY.md §4)."""
+without TPU hardware (standard JAX practice, see SURVEY.md §4).
+
+Note: this environment ships an 'axon' TPU plugin that ignores the
+JAX_PLATFORMS env var, so we use jax.config (applied before backend init).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
