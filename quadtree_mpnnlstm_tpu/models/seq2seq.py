@@ -1,0 +1,506 @@
+"""Graph seq2seq encoder–decoder with on-device per-step remeshing.
+
+Parity target: ref model/seq2seq.py. The reference runs Python loops over
+timesteps with mutable ``self.graph`` state and rebuilds the mesh on the
+host every remesh (ref seq2seq.py:254-336, :339-398, :434-491). Here both
+the encoder and the 90-step decoder rollout are ``nn.scan``s whose carry is
+a :class:`Seq2SeqState` (mesh + recurrent state pytree); remeshing — predict
+→ unflatten H/C → quadtree decompose → re-flatten — happens *inside* the
+scan body under ``lax.cond``, fully jit-compiled.
+
+Reference quirks preserved (checked by tests):
+  * encoder layer 0 receives the *top* layer's (H, C) from the previous
+    timestep; upper layers restart from zeros each step (ref :308-330, :71);
+  * shared LayerNorm applied to every layer's H and C (ref :49-50, :123-125);
+  * decoder conv stacks are 1 layer deep regardless of config (ref :106);
+  * decoder head: ``tanh(gnn_out(relu(norm(top_O)) ⧺ concat)) + X[:, [0]]``
+    — a residual delta on the previous value map (ref :160-175); the "top
+    output" is the LSTM's output-gate activation (ref model.py:463);
+  * decoder input is ``[value, pos_x, pos_y, node_size]`` seeded from the
+    last encoder frame (ref :336);
+  * teacher-forced non-remesh updates append the *raw* pixel count as the
+    size feature (ref :420-424).
+
+Documented deviations (reference behaviour is broken or stale there):
+  * ``remesh_input`` skips the remesh after the last encoder frame (the
+    reference indexes one frame past the end, ref :324);
+  * with remeshing enabled and no climatology, the decoder's concat channel
+    is the current prediction value at *every* step including t=0 (the
+    reference only sets it from the first remesh on, ref :379, :471, :484,
+    and would fail at t=0 with a statically-sized head layer).
+
+Train/eval mode (dropout, scheduled sampling) is a *constructor* attribute —
+build one ``Seq2Seq(..., deterministic=False, teacher_forcing_ratio=r)`` for
+training and another for inference; they share the same parameter pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from quadtree_mpnnlstm_tpu.config import GraphConfig, ModelConfig
+from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten, unflatten
+from quadtree_mpnnlstm_tpu.models.cells import RNN_CELLS
+from quadtree_mpnnlstm_tpu.models.conv import (
+    CONVOLUTION_KWARGS,
+    CONVOLUTIONS,
+    GraphConv,
+)
+from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+
+@struct.dataclass
+class Seq2SeqState:
+    """Scan carry: current mesh, node input, stacked recurrent state."""
+
+    graph: GraphTensors
+    x: jnp.ndarray       # (n_max, F) current node input
+    hidden: jnp.ndarray  # (n_layers, n_max, hidden)
+    cell: jnp.ndarray    # (n_layers, n_max, hidden)
+
+
+def _make_cells(cfg: ModelConfig, n_conv_layers: int, name: str):
+    cell_cls = RNN_CELLS[cfg.rnn_type]
+    return [
+        cell_cls(
+            out_channels=cfg.hidden_size,
+            n_conv_layers=n_conv_layers,
+            convolution_type=cfg.convolution_type,
+            name=f"{name}_{i}",
+        )
+        for i in range(cfg.n_layers)
+    ]
+
+
+class Encoder(nn.Module):
+    """One encoder timestep over stacked cells (ref seq2seq.py:21-82)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        if not self.cfg.dummy:
+            self.rnns = _make_cells(self.cfg, self.cfg.n_conv_layers, "rnn")
+        self.norm_h = nn.LayerNorm(epsilon=1e-5)
+        self.norm_c = nn.LayerNorm(epsilon=1e-5)
+
+    def __call__(
+        self,
+        x_t: jnp.ndarray,
+        graph: GraphTensors,
+        prev_hidden: jnp.ndarray,
+        prev_cell: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        if cfg.dummy:
+            return prev_hidden, prev_cell
+
+        is_gru = cfg.rnn_type == "GRU"
+        # Layer 0 consumes the previous timestep's TOP layer state (ref :308-316).
+        _, h, c = self.rnns[0](
+            x_t, graph, prev_hidden[-1], prev_cell[-1], deterministic
+        )
+        h = self.norm_h(h)
+        if not is_gru:
+            c = self.norm_c(c)
+        hs, cs = [h], [c]
+        zero = jnp.zeros_like(h)
+        for i in range(1, cfg.n_layers):
+            _, h, c = self.rnns[i](hs[-1], graph, zero, zero, deterministic)
+            h = self.norm_h(h)
+            if not is_gru:
+                c = self.norm_c(c)
+            hs.append(h)
+            cs.append(c)
+        return jnp.stack(hs), jnp.stack(cs)
+
+
+class Decoder(nn.Module):
+    """One decoder timestep + output head (ref seq2seq.py:84-187)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        # Decoder conv stacks are hard-coded 1 layer deep (ref :106).
+        if not cfg.dummy:
+            self.rnns = _make_cells(cfg, 1, "rnn")
+        conv_cls = CONVOLUTIONS[cfg.convolution_type]
+        kwargs = CONVOLUTION_KWARGS[cfg.convolution_type]
+        if conv_cls is None:  # Dummy convolution type → identity head convs
+            self.fc_out1 = GraphConv(
+                convolution_type="Dummy", out_channels=cfg.hidden_size,
+                name="fc_out1",
+            )
+            self.fc_out2 = GraphConv(
+                convolution_type="Dummy", out_channels=1, name="fc_out2"
+            )
+        else:
+            self.fc_out1 = conv_cls(
+                out_channels=cfg.hidden_size, name="fc_out1", **kwargs
+            )
+            self.fc_out2 = conv_cls(out_channels=1, name="fc_out2", **kwargs)
+        self.norm_o = nn.LayerNorm(epsilon=1e-5)
+        self.norm_h = nn.LayerNorm(epsilon=1e-5)
+        self.norm_c = nn.LayerNorm(epsilon=1e-5)
+        self.drop = nn.Dropout(rate=cfg.dropout)
+
+    def gnn_out(self, x, graph, deterministic):
+        x = self.fc_out1(x, graph, deterministic)
+        x = nn.relu(x)
+        x = self.fc_out2(x, graph, deterministic)
+        return self.drop(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        graph: GraphTensors,
+        concat_layers: Optional[jnp.ndarray],
+        hidden: jnp.ndarray,
+        cell: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        if cfg.dummy:
+            inp = x if concat_layers is None else jnp.concatenate(
+                [x, concat_layers], axis=-1
+            )
+            out = self.gnn_out(inp, graph, deterministic)
+            return out, hidden, cell
+
+        is_gru = cfg.rnn_type == "GRU"
+        out, h, c = self.rnns[0](x, graph, hidden[0], cell[0], deterministic)
+        h = self.norm_h(h)
+        if not is_gru:
+            c = self.norm_c(c)
+        hs, cs = [h], [c]
+        for i in range(1, cfg.n_layers):
+            out, h, c = self.rnns[i](
+                hs[-1], graph, hidden[i], cell[i], deterministic
+            )
+            h = self.norm_h(h)
+            if not is_gru:
+                c = self.norm_c(c)
+            hs.append(h)
+            cs.append(c)
+
+        output = nn.relu(self.norm_o(out))
+        if concat_layers is not None:
+            output = jnp.concatenate([output, concat_layers], axis=-1)
+        output = self.gnn_out(output, graph, deterministic)
+        output = jnp.tanh(output) + x[:, [0]]  # residual on previous value (ref :174)
+        if cfg.binary:
+            output = nn.sigmoid(output)
+        return output, jnp.stack(hs), jnp.stack(cs)
+
+
+class _EncoderScanStep(nn.Module):
+    """Fixed-mesh encoder scan body; carry=(hidden, cell), xs=data_t."""
+
+    cfg: ModelConfig
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, graph, x_t):
+        hidden, cell = carry
+        enc = Encoder(self.cfg, name="encoder")
+        hidden, cell = enc(x_t, graph, hidden, cell, self.deterministic)
+        return (hidden, cell), None
+
+
+class _EncoderRemeshStep(nn.Module):
+    """remesh_input encoder scan body (ref seq2seq.py:493-527): encode the
+    current frame's mesh, then (unless last) rebuild the mesh from the next
+    frame and transfer H/C through pixel space."""
+
+    cfg: ModelConfig
+    gcfg: GraphConfig
+    deterministic: bool = True
+    transform_func: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, carry, consts, xs):
+        state: Seq2SeqState = carry
+        mask, hir = consts
+        next_frame, is_last = xs
+        enc = Encoder(self.cfg, name="encoder")
+        hidden, cell = enc(
+            state.x, state.graph, state.hidden, state.cell, self.deterministic
+        )
+        shape = self.gcfg.image_shape
+
+        def remesh(_):
+            h_img = unflatten(hidden, state.graph, shape)
+            c_img = unflatten(cell, state.graph, shape)
+            new_graph, data = image_to_graph(
+                next_frame[None],
+                self.gcfg,
+                mask=mask,
+                high_interest_region=hir,
+                transform_func=self.transform_func,
+            )
+            return Seq2SeqState(
+                graph=new_graph,
+                x=data[0],
+                hidden=flatten(h_img, new_graph),
+                cell=flatten(c_img, new_graph),
+            )
+
+        def keep(_):
+            return Seq2SeqState(
+                graph=state.graph, x=state.x, hidden=hidden, cell=cell
+            )
+
+        new_state = jax.lax.cond(is_last, keep, remesh, None)
+        return new_state, None
+
+
+class _DecoderScanStep(nn.Module):
+    """Decoder rollout scan body (ref seq2seq.py:339-398): decode, emit the
+    pixel-space prediction through the *current* mapping, then remesh or
+    carry the mesh forward."""
+
+    cfg: ModelConfig
+    gcfg: GraphConfig
+    deterministic: bool = True
+    teacher_forcing_ratio: float = 0.0
+    use_climatology: bool = False
+    transform_func: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, carry, consts, xs):
+        cfg, gcfg = self.cfg, self.gcfg
+        state: Seq2SeqState = carry
+        mask, hir = consts
+        t, clim_t, y_t = xs
+        shape = gcfg.image_shape
+        remeshing = not gcfg.pixelwise
+
+        # -- concat layers (climatology or self-value, see module docstring)
+        if self.use_climatology:
+            concat = flatten(clim_t[None], state.graph)[0]
+        elif remeshing:
+            concat = state.x[:, [0]]
+        else:
+            concat = None
+
+        dec = Decoder(cfg, name="decoder")
+        output, hidden, cell = dec(
+            state.x, state.graph, concat, state.hidden, state.cell,
+            self.deterministic,
+        )
+        y_hat_t = unflatten(output, state.graph, shape, fill=0.0)
+
+        # -- scheduled sampling (ref :389-390)
+        if self.teacher_forcing_ratio > 0.0:
+            key = self.make_rng("sampling")
+            teacher_force = jax.random.bernoulli(
+                key, self.teacher_forcing_ratio
+            )
+        else:
+            teacher_force = jnp.asarray(False)
+
+        def do_remesh(_):
+            # ref seq2seq.py:434-491
+            h_img = unflatten(hidden, state.graph, shape)
+            c_img = unflatten(cell, state.graph, shape)
+            base = jnp.where(teacher_force, y_t, y_hat_t)
+            frame = add_positional_encoding(base[None])
+            new_graph, data = image_to_graph(
+                frame, gcfg, mask=mask, high_interest_region=hir,
+                transform_func=self.transform_func,
+            )
+            return Seq2SeqState(
+                graph=new_graph,
+                x=data[0],
+                hidden=flatten(h_img, new_graph),
+                cell=flatten(c_img, new_graph),
+            )
+
+        def no_remesh(_):
+            # ref seq2seq.py:420-431
+            if self.teacher_forcing_ratio > 0.0:
+                teach_pe = add_positional_encoding(y_t[None])
+                teach_nodes = flatten(teach_pe, state.graph)[0]
+                x_teach = jnp.concatenate(
+                    [teach_nodes, state.graph.counts[:, None]], axis=-1
+                )
+                x_pred = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
+                x_new = jnp.where(teacher_force, x_teach, x_pred)
+            else:
+                x_new = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
+            return Seq2SeqState(
+                graph=state.graph, x=x_new, hidden=hidden, cell=cell
+            )
+
+        if remeshing:
+            do_it = jnp.mod(t + 1, cfg.remesh_every) == 0
+            new_state = jax.lax.cond(do_it, do_remesh, no_remesh, None)
+        else:
+            new_state = no_remesh(None)
+        return new_state, y_hat_t
+
+
+class Seq2Seq(nn.Module):
+    """Full model (ref seq2seq.py:190-527).
+
+    ``__call__(x, y, concat_layers, ...)`` → pixel-space predictions
+    (T_out, rows, cols, 1). ``encode``/``decode`` are exposed separately so
+    the trainer can re-run the encoder per truncated-BPTT chunk exactly like
+    the reference (ref mpnnlstm.py:281-315).
+    """
+
+    cfg: ModelConfig
+    gcfg: GraphConfig
+    transform_func: Optional[Callable] = None
+    preset_node_size_base: int = 4  # ref seq2seq.py:291 hard-codes 4
+    deterministic: bool = True
+    teacher_forcing_ratio: float = 0.0
+    use_climatology: bool = False
+
+    def setup(self):
+        cfg, gcfg = self.cfg, self.gcfg
+        scan_kw = dict(
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True, "sampling": True},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+        )
+        if cfg.remesh_input:
+            self.enc_scan = nn.scan(_EncoderRemeshStep, **scan_kw)(
+                cfg, gcfg, self.deterministic, self.transform_func,
+                name="enc",
+            )
+        else:
+            self.enc_scan = nn.scan(_EncoderScanStep, **scan_kw)(
+                cfg, self.deterministic, name="enc"
+            )
+        self.dec_scan = nn.scan(_DecoderScanStep, **scan_kw)(
+            cfg,
+            gcfg,
+            self.deterministic,
+            self.teacher_forcing_ratio,
+            self.use_climatology,
+            self.transform_func,
+            name="dec",
+        )
+
+    def _zeros_state(self):
+        return (
+            jnp.zeros((self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)),
+            jnp.zeros((self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)),
+        )
+
+    def encode(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        high_interest_region: Optional[jnp.ndarray] = None,
+        graph_structure: Optional[GraphTensors] = None,
+    ) -> Seq2SeqState:
+        """ref seq2seq.py:254-336 (process_inputs)."""
+        cfg, gcfg = self.cfg, self.gcfg
+        assert x.shape[0] == cfg.input_timesteps
+        h0, c0 = self._zeros_state()
+        x_pe = add_positional_encoding(x)
+
+        if cfg.remesh_input and graph_structure is None:
+            graph, data = image_to_graph(
+                x_pe[:1], gcfg, mask=mask,
+                high_interest_region=high_interest_region,
+                transform_func=self.transform_func,
+            )
+            state = Seq2SeqState(graph=graph, x=data[0], hidden=h0, cell=c0)
+            t_in = cfg.input_timesteps
+            # frame t's step remeshes onto frame t+1; the last step keeps its
+            # mesh (see module docstring on the reference's off-by-one).
+            next_frames = jnp.concatenate([x_pe[1:], x_pe[-1:]], axis=0)
+            is_last = jnp.arange(t_in) == t_in - 1
+            state, _ = self.enc_scan(
+                state, (mask, high_interest_region), (next_frames, is_last)
+            )
+        else:
+            if graph_structure is not None:
+                # Preset mesh: flatten through it and append node sizes
+                # (ref seq2seq.py:288-294; size divisor hard-codes the base
+                # grid, ref :291).
+                graph = graph_structure
+                flat = flatten(x_pe, graph)
+                sizes = graph.counts / ((self.preset_node_size_base / 2.0) ** 2)
+                sizes = jnp.broadcast_to(
+                    sizes[None, :, None], (flat.shape[0], gcfg.n_max, 1)
+                )
+                data = jnp.concatenate([flat, sizes.astype(flat.dtype)], -1)
+            else:
+                graph, data = image_to_graph(
+                    x_pe, gcfg, mask=mask,
+                    high_interest_region=high_interest_region,
+                    transform_func=self.transform_func,
+                )
+            (hidden, cell), _ = self.enc_scan((h0, c0), graph, data)
+            state = Seq2SeqState(
+                graph=graph, x=data[-1], hidden=hidden, cell=cell
+            )
+
+        # Decoder seed: [value, pos_x, pos_y, node_size] (ref :336).
+        n_feats = state.x.shape[-1]
+        seed_cols = jnp.asarray([0, n_feats - 3, n_feats - 2, n_feats - 1])
+        return state.replace(x=state.x[:, seed_cols])
+
+    def decode(
+        self,
+        state: Seq2SeqState,
+        t0,
+        n_steps: int,
+        y: Optional[jnp.ndarray] = None,
+        concat_layers: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        high_interest_region: Optional[jnp.ndarray] = None,
+    ) -> Tuple[Seq2SeqState, jnp.ndarray]:
+        """ref seq2seq.py:339-398 (unroll_output). Returns
+        (state, y_hat (n_steps, rows, cols, 1))."""
+        rows, cols = self.gcfg.image_shape
+        ts = t0 + jnp.arange(n_steps)
+        clim = (
+            concat_layers
+            if concat_layers is not None
+            else jnp.zeros((n_steps, rows, cols, 1))
+        )
+        y_xs = y if y is not None else jnp.zeros((n_steps, rows, cols, 1))
+        state, y_hat = self.dec_scan(
+            state, (mask, high_interest_region), (ts, clim, y_xs)
+        )
+        return state, y_hat
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+        concat_layers: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        high_interest_region: Optional[jnp.ndarray] = None,
+        graph_structure: Optional[GraphTensors] = None,
+    ) -> jnp.ndarray:
+        """Full forward (ref seq2seq.py:402-418) → (T_out, rows, cols, 1)."""
+        state = self.encode(
+            x,
+            mask=mask,
+            high_interest_region=high_interest_region,
+            graph_structure=graph_structure,
+        )
+        _, y_hat = self.decode(
+            state,
+            0,
+            self.cfg.output_timesteps,
+            y=y,
+            concat_layers=concat_layers,
+            mask=mask,
+            high_interest_region=high_interest_region,
+        )
+        return y_hat
