@@ -363,6 +363,7 @@ class Seq2Seq(nn.Module):
     deterministic: bool = True
     teacher_forcing_ratio: float = 0.0
     use_climatology: bool = False
+    remat: bool = True  # rematerialise each scan step in the backward pass
 
     def setup(self):
         cfg, gcfg = self.cfg, self.gcfg
@@ -372,16 +373,24 @@ class Seq2Seq(nn.Module):
             in_axes=(nn.broadcast, 0),
             out_axes=0,
         )
+
+        def step_cls(cls):
+            # Per-step remat keeps rollout memory O(carry) instead of
+            # O(T × all conv residuals) — the lax.scan analogue of the
+            # reference's truncated-BPTT memory workaround
+            # (ref mpnnlstm.py:281-315; SURVEY.md §7.5 "jax.remat").
+            return nn.remat(cls, prevent_cse=False) if self.remat else cls
+
         if cfg.remesh_input:
-            self.enc_scan = nn.scan(_EncoderRemeshStep, **scan_kw)(
+            self.enc_scan = nn.scan(step_cls(_EncoderRemeshStep), **scan_kw)(
                 cfg, gcfg, self.deterministic, self.transform_func,
                 name="enc",
             )
         else:
-            self.enc_scan = nn.scan(_EncoderScanStep, **scan_kw)(
+            self.enc_scan = nn.scan(step_cls(_EncoderScanStep), **scan_kw)(
                 cfg, self.deterministic, name="enc"
             )
-        self.dec_scan = nn.scan(_DecoderScanStep, **scan_kw)(
+        self.dec_scan = nn.scan(step_cls(_DecoderScanStep), **scan_kw)(
             cfg,
             gcfg,
             self.deterministic,
