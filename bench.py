@@ -83,14 +83,17 @@ def main():
     )
     jax.block_until_ready(loss)
 
+    # Block per step: the tunneled device reports unreliable timings when
+    # many steps are enqueued without a sync.
     st = time.perf_counter()
     for i in range(1, N_STEPS + 1):
         params, opt_state, loss = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
         )
-    jax.block_until_ready(loss)
+        jax.block_until_ready(loss)
     dt = time.perf_counter() - st
+    assert np.isfinite(float(loss)), "non-finite training loss in bench"
 
     fps = N_STEPS * BATCH * T_OUT / dt
     print(

@@ -1,0 +1,317 @@
+"""Hudson-Bay sea-ice experiment driver.
+
+Parity target: ref ice_exp.py — ``python -m quadtree_mpnnlstm_tpu.cli.ice_exp
+-m <month> -e <exp>`` with the same ten numbered experiment configs
+(ref :64-87), multires curriculum (coarse 5 epochs → full-res 10 epochs,
+ref :91-112, :185-206), preset static meshes (ref :127-130), day-of-year
+climatology (ref :141-142), and netCDF/npz prediction dumps (ref :209-241).
+
+Real data needs xarray+netCDF; without them (this image) pass ``--synthetic``
+to exercise the identical pipeline on a generated dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from quadtree_mpnnlstm_tpu.data.ice_dataset import (
+    GriddedDataset,
+    IceDataset,
+    climatology_from_dataset,
+)
+from quadtree_mpnnlstm_tpu.data.loader import DataLoader
+from quadtree_mpnnlstm_tpu.graph.static import (
+    create_static_heterogeneous_graph,
+    create_static_homogeneous_graph,
+)
+from quadtree_mpnnlstm_tpu.config import GraphConfig
+from quadtree_mpnnlstm_tpu.train.predictor import NextFramePredictorS2S
+from quadtree_mpnnlstm_tpu.utils.dates import int_to_datetime
+
+NEG_INF = float("-inf")
+
+
+def dist_from_05(arr):
+    """Split-criterion transform (ref ice_exp.py:149-150)."""
+    return abs(abs(arr - 0.5) - 0.5)
+
+
+def experiment_config(exp: int):
+    """The ten numbered configs (ref ice_exp.py:48-87)."""
+    cfg = dict(
+        convolution_type="TransformerConv",
+        lr=0.0001,
+        multires_training=False,
+        truncated_backprop=0,
+        input_timesteps=10,
+        preset_mesh=False,
+    )
+    if exp == 1:
+        cfg["convolution_type"] = "GCNConv"
+    elif exp == 2:
+        cfg["lr"] = 0.001
+    elif exp == 3:
+        cfg["multires_training"] = True
+    elif exp == 4:
+        cfg["lr"] = 0.0001
+    elif exp == 5:
+        cfg["truncated_backprop"] = 45
+    elif exp == 6:
+        cfg["truncated_backprop"] = 30
+    elif exp == 7:
+        cfg["lr"] = 0.001
+        cfg["input_timesteps"] = 30
+    elif exp == 8:
+        cfg["lr"] = 0.001
+        cfg["input_timesteps"] = 90
+    elif exp == 9:
+        cfg["multires_training"] = True
+        cfg["preset_mesh"] = "heterogeneous"
+    elif exp == 10:
+        cfg["multires_training"] = True
+        cfg["preset_mesh"] = "homogeneous"
+    return cfg
+
+
+def load_real_dataset(data_glob: str):
+    try:
+        import glob
+
+        import xarray as xr
+    except ImportError as e:
+        raise ImportError(
+            "Real ERA5/GLORYS data requires xarray; run with --synthetic "
+            "or install xarray+netcdf4."
+        ) from e
+    ds = xr.open_mfdataset(glob.glob(data_glob))
+    mask = np.isnan(ds["siconc"].isel(time=0)).values
+    return GriddedDataset.from_xarray(ds), mask
+
+
+def synthetic_dataset(shape=(32, 32), years=(2007, 2014), seed=21):
+    """Season-driven synthetic ice field exercising the full pipeline."""
+    rng = np.random.default_rng(seed)
+    times = np.arange(
+        np.datetime64(f"{years[0]}-01-01"),
+        np.datetime64(f"{years[-1]}-01-01"),
+        np.timedelta64(1, "D"),
+    ).astype("datetime64[ns]")
+    t = len(times)
+    doy = (
+        (times - times.astype("datetime64[Y]").astype(times.dtype))
+        / np.timedelta64(1, "D")
+    ).astype(np.float32)
+    season = 0.5 + 0.5 * np.cos(2 * np.pi * (doy - 30) / 365.25)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    lat_grad = yy / shape[0]
+    base = season[:, None, None] * (0.3 + 0.7 * lat_grad)[None]
+    fields = {
+        "siconc": np.clip(
+            base + rng.normal(0, 0.05, (t, *shape)), 0, 1
+        ).astype(np.float32),
+        "t2m": (270 - 30 * base + rng.normal(0, 2, (t, *shape))).astype(
+            np.float32
+        ),
+        "v10": rng.normal(0, 5, (t, *shape)).astype(np.float32),
+        "u10": rng.normal(0, 5, (t, *shape)).astype(np.float32),
+        "sshf": rng.normal(0, 50, (t, *shape)).astype(np.float32),
+    }
+    mask = (lat_grad < 0.1)  # permanent open-water band
+    for v in fields.values():
+        v[:, mask] = np.nan
+    return GriddedDataset(fields, times), mask
+
+
+def save_predictions(path, y_hat, y_true, launch_dates, output_timesteps):
+    """netCDF when xarray is available, else npz (ref ice_exp.py:229-241)."""
+    dates = [int_to_datetime(int(t)) for t in launch_dates]
+    try:
+        import xarray as xr
+
+        ds = xr.Dataset(
+            data_vars=dict(
+                y_hat=(
+                    ["launch_date", "timestep", "latitude", "longitude"],
+                    y_hat.squeeze(-1),
+                ),
+                y_true=(
+                    ["launch_date", "timestep", "latitude", "longitude"],
+                    y_true.squeeze(-1),
+                ),
+            ),
+            coords=dict(
+                launch_date=dates,
+                timestep=np.arange(1, output_timesteps + 1),
+            ),
+        )
+        ds.to_netcdf(path + ".nc")
+        return path + ".nc"
+    except ImportError:
+        np.savez(
+            path + ".npz",
+            y_hat=y_hat,
+            y_true=y_true,
+            launch_dates=np.asarray(launch_dates),
+        )
+        return path + ".npz"
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--month", type=int, required=True)
+    parser.add_argument("-e", "--exp", type=int, default=0)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--data-glob", default="data/hb_era5_glorys_nc/*.nc")
+    parser.add_argument("--epochs", type=int, default=15)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--results-dir", default=None)
+    args = parser.parse_args(argv)
+
+    start = time.time()
+    month, exp = args.month, args.exp
+    cfg = experiment_config(exp)
+
+    training_years = range(2007, 2013)
+    x_vars = ["siconc", "t2m", "v10", "u10", "sshf"]
+    y_vars = ["siconc"]
+    input_timesteps = cfg["input_timesteps"]
+    output_timesteps = 90 if not args.synthetic else 10
+
+    if args.synthetic:
+        ds, mask = synthetic_dataset()
+    else:
+        ds, mask = load_real_dataset(args.data_glob)
+    image_shape = mask.shape
+
+    data_train = IceDataset(ds, training_years, month, input_timesteps,
+                            output_timesteps, x_vars, y_vars, train=True)
+    data_test = IceDataset(ds, [training_years[-1] + 1], month,
+                           input_timesteps, output_timesteps, x_vars, y_vars)
+    data_val = IceDataset(
+        ds, range(training_years[-1] + 2, training_years[-1] + 2 + 4),
+        month, input_timesteps, output_timesteps, x_vars, y_vars,
+    )
+    loader_train = DataLoader(data_train, args.batch_size, shuffle=True, seed=21)
+    loader_test = DataLoader(data_test, args.batch_size, shuffle=True, seed=22)
+    loader_val = DataLoader(data_val, args.batch_size, shuffle=False)
+
+    climatology = climatology_from_dataset(ds, "siconc")
+
+    thresh = NEG_INF  # quadtree off in the committed config (ref :145)
+    print(f"Threshold is {thresh}")
+
+    graph_structure = None
+    if cfg["preset_mesh"]:
+        gmesh = GraphConfig(
+            image_shape=image_shape, max_grid_size=4, resolution=1 / 12,
+            use_edge_attrs=True,
+        )
+        import jax.numpy as jnp
+
+        if cfg["preset_mesh"] == "heterogeneous":
+            graph_structure = create_static_heterogeneous_graph(
+                gmesh, mask=jnp.asarray(mask)
+            )
+        else:
+            graph_structure = create_static_homogeneous_graph(
+                gmesh, jnp.asarray(mask)
+            )
+
+    experiment_name = (
+        f"M{month}_Y{training_years[0]}_Y{training_years[-1]}"
+        f"_I{input_timesteps}O{output_timesteps}"
+    )
+    model = NextFramePredictorS2S(
+        image_shape=image_shape,
+        thresh=thresh,
+        experiment_name=experiment_name,
+        input_features=len(x_vars),
+        input_timesteps=input_timesteps,
+        output_timesteps=output_timesteps,
+        transform_func=dist_from_05,
+        binary=False,
+        use_climatology=True,
+        model_kwargs=dict(
+            hidden_size=32,
+            dropout=0.1,
+            n_layers=1,
+            n_conv_layers=3,
+            rnn_type="LSTM",
+            convolution_type=cfg["convolution_type"],
+        ),
+    )
+    print("Num. parameters:", model.get_n_params())
+
+    # Multires curriculum: 2× coarsened epochs first (ref :91-112, :185-206)
+    if cfg["multires_training"]:
+        coarse = GriddedDataset(
+            {k: v[:, ::2, ::2] for k, v in ds.variables.items()}, ds.times
+        )
+        mask_half = mask[::2, ::2]
+        model_half = NextFramePredictorS2S(
+            image_shape=mask_half.shape,
+            thresh=thresh,
+            experiment_name=experiment_name + "_half",
+            input_features=len(x_vars),
+            input_timesteps=input_timesteps,
+            output_timesteps=output_timesteps,
+            transform_func=dist_from_05,
+            use_climatology=False,
+            model_kwargs=dict(
+                hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
+                rnn_type="LSTM", convolution_type=cfg["convolution_type"],
+            ),
+        )
+        half_train = IceDataset(coarse, training_years, month,
+                                input_timesteps, output_timesteps, x_vars,
+                                y_vars, train=True)
+        half_test = IceDataset(coarse, [training_years[-1] + 1], month,
+                               input_timesteps, output_timesteps, x_vars,
+                               y_vars)
+        model_half.train(
+            DataLoader(half_train, args.batch_size, shuffle=True, seed=21),
+            DataLoader(half_test, args.batch_size),
+            lr=cfg["lr"], n_epochs=5, mask=mask_half,
+            truncated_backprop=cfg["truncated_backprop"],
+        )
+        # Graph convs are resolution-agnostic: warm-start full-res weights.
+        model.params = model_half.params
+        epochs = min(args.epochs, 10)
+    else:
+        epochs = args.epochs
+
+    model.train(
+        loader_train,
+        loader_test,
+        climatology,
+        lr=cfg["lr"],
+        n_epochs=epochs,
+        mask=mask,
+        truncated_backprop=cfg["truncated_backprop"],
+        graph_structure=graph_structure,
+    )
+
+    results_dir = args.results_dir or f"ice_results_exp{exp}"
+    os.makedirs(results_dir, exist_ok=True)
+    with open(f"{results_dir}/loss_{experiment_name}.json", "w") as f:
+        json.dump(model.loss, f)
+    model.save(results_dir)
+
+    val_preds = model.predict(
+        loader_val, climatology, mask=mask, graph_structure=graph_structure
+    )
+    out = save_predictions(
+        f"{results_dir}/valpredictions_{experiment_name}",
+        val_preds, data_val.y, data_val.launch_dates, output_timesteps,
+    )
+    print(f"Finished model {month} in {(time.time() - start) / 60} minutes")
+    print("predictions:", out)
+
+
+if __name__ == "__main__":
+    main()

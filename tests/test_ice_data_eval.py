@@ -1,0 +1,120 @@
+"""IceDataset windowing & eval-suite tests (ref ice_dataset.py, ice_results.py)."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from quadtree_mpnnlstm_tpu.data.ice_dataset import (
+    GriddedDataset,
+    IceDataset,
+    climatology_from_dataset,
+)
+from quadtree_mpnnlstm_tpu.eval.results import (
+    create_heatmap,
+    persistence_heatmap,
+    climatology_heatmap,
+    masked_RMSE,
+    masked_accuracy,
+    full_report,
+)
+
+
+def synthetic_ds(years=(2007, 2008), shape=(6, 8), seed=0):
+    rng = np.random.default_rng(seed)
+    times = np.arange(
+        np.datetime64(f"{years[0]}-01-01"),
+        np.datetime64(f"{years[-1] + 1}-01-01"),
+        np.timedelta64(1, "D"),
+    ).astype("datetime64[ns]")
+    t = len(times)
+    base = rng.random((t, *shape)).astype(np.float32)
+    return GriddedDataset(
+        {
+            "siconc": base,
+            "t2m": base * 10 + 250,
+        },
+        times,
+    )
+
+
+def test_ice_dataset_windowing():
+    ds = synthetic_ds()
+    t_in, t_out = 3, 5
+    data = IceDataset(
+        ds, [2007], month=6, input_timesteps=t_in, output_timesteps=t_out,
+        x_vars=["siconc", "t2m", "doy"], y_vars=["siconc"],
+    )
+    # June window: [Jun1 - t_in, Jul1 + t_out - 1] inclusive = 38 days;
+    # the reference's strict while-loop yields T - t_in - t_out samples
+    expected_days = t_in + 30 + t_out  # May 29 .. Jul 5
+    n_expected = expected_days - t_out - t_in
+    assert data.x.shape == (n_expected, t_in, 6, 8, 3)
+    assert data.y.shape == (n_expected, t_out, 6, 8, 1)
+    # launch dates start at June 1 (the first day after the input buffer)
+    first = data.launch_dates[0]
+    assert np.datetime64(int(first), "ns").astype("datetime64[D]") == np.datetime64(
+        "2007-06-01"
+    )
+    # normalised into [0, 1]
+    assert data.x.min() >= 0 and data.x.max() <= 1.0 + 1e-6
+
+
+def test_ice_dataset_train_widens_and_binary():
+    ds = synthetic_ds()
+    t_in, t_out = 2, 2
+    train = IceDataset(ds, [2007], 6, t_in, t_out, ["siconc"], ["siconc"],
+                       train=True)
+    test = IceDataset(ds, [2007], 6, t_in, t_out, ["siconc"], ["siconc"])
+    assert len(train) > len(test) * 2.5  # ±1 month widening (ref :29-35)
+
+    binary = IceDataset(ds, [2007], 6, t_in, t_out, ["siconc"], ["siconc"],
+                        y_binary_thresh=0.5)
+    assert set(np.unique(binary.y)) <= {0.0, 1.0}
+
+
+def test_climatology_shape_and_values():
+    ds = synthetic_ds()
+    clim = climatology_from_dataset(ds, "siconc")
+    assert clim.shape == (366, 6, 8)
+    assert np.isfinite(clim).all()
+    # day 0 = mean of both Jan 1sts
+    jan1s = ds.variables["siconc"][[0, 365]]
+    np.testing.assert_allclose(clim[0], jan1s.mean(0), rtol=1e-5)
+
+
+def test_metric_closures():
+    mask_valid = np.ones((4, 4))
+    y = np.zeros((4, 4))
+    p = np.full((4, 4), 0.5)
+    assert masked_RMSE(mask_valid)(y, p) == pytest.approx(0.5)
+    assert masked_accuracy(mask_valid)(y > 0.5, p > 0.5) == 1.0
+
+
+def test_heatmaps_and_report(tmp_path):
+    rng = np.random.default_rng(0)
+    n, t, r, c = 6, 4, 6, 8
+    y_true = rng.random((n, t, r, c, 1)).astype(np.float32)
+    y_hat = y_true + rng.normal(0, 0.01, y_true.shape).astype(np.float32)
+    mask = np.zeros((r, c), bool)
+    # launch dates in two different months
+    lds = [
+        np.datetime64(f"2007-0{m}-15", "ns").astype(np.int64)
+        for m in (3, 3, 3, 7, 7, 7)
+    ]
+    heat = create_heatmap(y_hat, y_true, lds, mask)
+    assert heat.shape == (12, t)
+    filled = ~np.isnan(heat)
+    assert filled[2].all() and filled[6].all()  # March & July rows
+    assert np.nanmax(heat) < 0.05  # predictions are near-perfect
+
+    pers = persistence_heatmap(y_true, lds, mask)
+    assert np.nanmean(pers) > np.nanmean(heat)  # persistence is worse
+
+    clim = np.tile(y_true[:, 0, :, :, 0].mean(0), (366, 1, 1))
+    ch = climatology_heatmap(y_true, lds, clim, mask)
+    assert ch.shape == (12, t)
+
+    out = full_report(y_hat, y_true, lds, mask, clim, str(tmp_path))
+    assert (tmp_path / "heatmap.csv").exists()
+    assert np.allclose(out[filled], heat[filled])
