@@ -81,19 +81,21 @@ def main():
         params, opt_state, batches[0][0], batches[0][1], clim, mask, mask,
         None, key,
     )
-    jax.block_until_ready(loss)
+    float(loss)  # host sync (block_until_ready is unreliable on axon)
 
-    # Block per step: the tunneled device reports unreliable timings when
-    # many steps are enqueued without a sync.
+    # Sync per step via a host fetch: on the tunneled 'axon' platform
+    # jax.block_until_ready returns without waiting for remote execution,
+    # so only a device->host transfer gives honest timings.
     st = time.perf_counter()
+    last = 0.0
     for i in range(1, N_STEPS + 1):
         params, opt_state, loss = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
         )
-        jax.block_until_ready(loss)
+        last = float(loss)
     dt = time.perf_counter() - st
-    assert np.isfinite(float(loss)), "non-finite training loss in bench"
+    assert np.isfinite(last), "non-finite training loss in bench"
 
     fps = N_STEPS * BATCH * T_OUT / dt
     print(
