@@ -122,9 +122,35 @@ class ModMovingMNIST:
         output_timesteps: int = 1,
         n_digits: int = 1,
         gap: int = 0,
+        backend: str = "numpy",
     ):
-        """(x, y) videos with additive white noise (ref :145-161)."""
+        """(x, y) videos with additive white noise (ref :145-161).
+
+        ``backend='native'`` renders through the C++ generator
+        (native/qtm_host.cpp) — same dynamics, different RNG stream."""
         t_total = input_timesteps + output_timesteps + gap
+        if backend == "native":
+            from quadtree_mpnnlstm_tpu import native_ext
+
+            assert self.canvas_size[0] == self.canvas_size[1], (
+                "native generator assumes a square canvas"
+            )
+            sprites = np.stack(
+                [
+                    _resize_nearest(s, self.digit_size)
+                    for s in self.sprites
+                ]
+            )
+            vids = native_ext.moving_sprites(
+                sprites, num_samples, t_total, self.canvas_size[0],
+                n_digits=n_digits, pixel_noise=self.pixel_noise,
+                velocity_noise=self.velocity_noise,
+                seed=int(self.rng.integers(2**63)),
+            )
+            vids = np.swapaxes(vids, 2, 3)
+            x = vids[:, :input_timesteps, :, :, None]
+            y = vids[:, t_total - output_timesteps :, :, :, None]
+            return x, y
         xs, ys = [], []
         for _ in range(num_samples):
             vid = self.generate_moving_digits(t_total, n_digits)
@@ -157,13 +183,15 @@ class ModMovingMNISTDataset(ArrayDataset):
         velocity_noise: float = 0.25,
         seed: int = 0,
         sprites=None,
+        backend: str = "numpy",
     ):
         gen = ModMovingMNIST(
             canvas_size, digit_size, pixel_noise, velocity_noise,
             sprites=sprites, seed=seed,
         )
         x, y = gen.create_dataset(
-            n_samples, input_timesteps, output_timesteps, n_digits, gap
+            n_samples, input_timesteps, output_timesteps, n_digits, gap,
+            backend=backend,
         )
         frame_id = np.arange(len(y), dtype=np.int64)
         super().__init__(x, y, frame_id)
