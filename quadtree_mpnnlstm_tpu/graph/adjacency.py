@@ -93,10 +93,14 @@ def build_adjacency(
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     n_edges = jnp.sum(keep).astype(jnp.int32)
 
+    # Invalid slots carry the sentinel node id n_max: the edge list stays
+    # sorted by dst end-to-end, so segment reductions can assert sorted
+    # indices, and sentinel messages fall into the dropped n_max bucket.
     e_max = cfg.e_max
     slot = jnp.where(keep & (pos < e_max), pos, e_max)  # e_max slots get dropped
-    edge_src = jnp.zeros((e_max,), jnp.int32).at[slot].set(src_s, mode="drop")
-    edge_dst = jnp.zeros((e_max,), jnp.int32).at[slot].set(dst_s, mode="drop")
+    sent_fill = jnp.full((e_max,), n_max, jnp.int32)
+    edge_src = sent_fill.at[slot].set(src_s, mode="drop")
+    edge_dst = sent_fill.at[slot].set(dst_s, mode="drop")
     edge_valid = jnp.zeros((e_max,), bool).at[slot].set(keep, mode="drop")
 
     edge_attr = edge_attributes(edge_src, edge_dst, edge_valid, node_xy, cfg)

@@ -38,8 +38,8 @@ class GraphTensors:
     node_valid: jnp.ndarray  # (n_max,) bool
 
     # -- adjacency ------------------------------------------------------------
-    edge_src: jnp.ndarray    # (e_max,) int32 (0 where invalid)
-    edge_dst: jnp.ndarray    # (e_max,) int32, sorted ascending on valid prefix
+    edge_src: jnp.ndarray    # (e_max,) int32 (sentinel n_max where invalid)
+    edge_dst: jnp.ndarray    # (e_max,) int32, sorted ascending incl. sentinels
     edge_valid: jnp.ndarray  # (e_max,) bool
     edge_attr: jnp.ndarray   # (e_max, edge_dim) float32, zero where invalid
     n_edges: jnp.ndarray     # () int32

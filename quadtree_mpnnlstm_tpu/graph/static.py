@@ -81,15 +81,18 @@ def create_static_homogeneous_graph(
     )
     node_valid = jnp.arange(n_max) < n_nodes
 
-    # Remap edges; edges touching a deleted node become invalid. Relabelling
-    # is monotone so the (dst, src) sort order is preserved on valid slots.
+    # Remap edges; edges touching a deleted node become invalid (sentinel
+    # id n_max). Re-sort so the dst-major order with sentinels last — the
+    # invariant segment reductions rely on — is restored.
     e_keep = (
         base.edge_valid
         & keep_pad[base.edge_src]
         & keep_pad[base.edge_dst]
     )
-    edge_src = jnp.where(e_keep, new_pad[base.edge_src], 0)
-    edge_dst = jnp.where(e_keep, new_pad[base.edge_dst], 0)
+    edge_src = jnp.where(e_keep, new_pad[base.edge_src], n_max)
+    edge_dst = jnp.where(e_keep, new_pad[base.edge_dst], n_max)
+    edge_dst, edge_src = jax.lax.sort((edge_dst, edge_src), num_keys=2)
+    e_keep = edge_dst < n_max
     edge_attr = edge_attributes(edge_src, edge_dst, e_keep, node_xy, cfg)
     n_edges = jnp.sum(e_keep).astype(jnp.int32)
 

@@ -53,7 +53,9 @@ def _sym_norm(graph: GraphTensors) -> jnp.ndarray:
     """D^{-1/2} A D^{-1/2} coefficients per edge."""
     w = _edge_weight(graph)
     n = graph.n_max
-    deg = jax.ops.segment_sum(w, graph.edge_dst, num_segments=n + 1)[:n]
+    deg = jax.ops.segment_sum(
+        w, graph.edge_dst, num_segments=n + 1, indices_are_sorted=True
+    )[:n]
     dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     return dinv[graph.edge_dst] * w * dinv[graph.edge_src]
 
@@ -192,8 +194,10 @@ def _with_self_loops(graph: GraphTensors):
     reference's GAT configs)."""
     n = graph.n_max
     idx = jnp.arange(n, dtype=graph.edge_src.dtype)
-    src = jnp.concatenate([graph.edge_src, idx])
-    dst = jnp.concatenate([graph.edge_dst, idx])
+    # invalid nodes' self-edges carry the sentinel id (dropped bucket)
+    self_idx = jnp.where(graph.node_valid, idx, n)
+    src = jnp.concatenate([graph.edge_src, self_idx])
+    dst = jnp.concatenate([graph.edge_dst, self_idx])
     valid = jnp.concatenate([graph.edge_valid, graph.node_valid])
     attr_sum = jnp.sum(
         graph.edge_attr * graph.edge_valid[:, None], axis=0
@@ -260,7 +264,10 @@ class _GATBase(nn.Module):
 
         alpha = edge_softmax(logits, dst, valid, n)
         alpha = nn.Dropout(rate=self.dropout)(alpha, deterministic=deterministic)
-        out = scatter_to_dst(alpha[..., None] * src_feat[src], dst, valid, n)
+        out = scatter_to_dst(
+            alpha[..., None] * src_feat[src], dst, valid, n,
+            indices_sorted=False,
+        )
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.use_bias:
             bias_dim = h * d if self.concat else d

@@ -42,12 +42,29 @@ def scatter_to_dst(
     edge_dst: jnp.ndarray,
     edge_valid: jnp.ndarray,
     n_max: int,
+    indices_sorted: bool = True,
+    mask_messages: bool = False,
 ) -> jnp.ndarray:
-    """Aggregate per-edge messages (E, ...) at destination nodes (sum)."""
-    m = jnp.where(
-        edge_valid.reshape((-1,) + (1,) * (messages.ndim - 1)), messages, 0.0
+    """Aggregate per-edge messages (E, ...) at destination nodes (sum).
+
+    Graph builders emit edge lists sorted by dst with invalid lanes carrying
+    the sentinel id ``n_max`` (dropped bucket), so by default no masking is
+    needed and the segment sum can assert sorted indices — a large win on
+    TPU where unsorted scatter is the dominant cost. Callers whose messages
+    are not already zero on invalid lanes must pass ``mask_messages=True``;
+    callers that append edges out of order (e.g. GAT self-loops) must pass
+    ``indices_sorted=False``.
+    """
+    if mask_messages:
+        messages = jnp.where(
+            edge_valid.reshape((-1,) + (1,) * (messages.ndim - 1)),
+            messages, 0.0,
+        )
+    out = jax.ops.segment_sum(
+        messages, edge_dst, num_segments=n_max + 1,
+        indices_are_sorted=indices_sorted,
     )
-    return segment_sum_nodes(m, edge_dst, n_max)
+    return out[:n_max]
 
 
 def edge_softmax(

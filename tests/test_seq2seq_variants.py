@@ -1,0 +1,162 @@
+"""Seq2Seq configuration-space coverage: every rnn type, conv type, remesh
+mode, preset mesh, teacher forcing, and reference quirks (SURVEY.md §2.3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quadtree_mpnnlstm_tpu.config import GraphConfig, ModelConfig
+from quadtree_mpnnlstm_tpu.graph.static import create_static_heterogeneous_graph
+from quadtree_mpnnlstm_tpu.models.seq2seq import Seq2Seq
+
+SHAPE = (16, 16)
+
+
+def data(seed=0, t_in=3, t_out=3):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((t_in, *SHAPE, 1)).astype(np.float32))
+    y = jnp.asarray(rng.random((t_out, *SHAPE, 1)).astype(np.float32))
+    return x, y
+
+
+def build(conv="GCNConv", rnn="LSTM", thresh=0.3, **kw):
+    gcfg = GraphConfig(image_shape=SHAPE, max_grid_size=4, thresh=thresh,
+                       use_edge_attrs=conv in
+                       ("TransformerConv", "MHTransformerConv", "GATConv"))
+    cfg = ModelConfig(hidden_size=6, input_features=1, input_timesteps=3,
+                      output_timesteps=3, n_layers=2, n_conv_layers=1,
+                      convolution_type=conv, rnn_type=rnn,
+                      **{k: v for k, v in kw.items() if k in ModelConfig.__dataclass_fields__})
+    model_kw = {k: v for k, v in kw.items()
+                if k not in ModelConfig.__dataclass_fields__}
+    return Seq2Seq(cfg, gcfg, **model_kw)
+
+
+@pytest.mark.parametrize("rnn", ["LSTM", "GRU", "SimpleLSTM", "SplitLSTM"])
+def test_rnn_types(rnn):
+    model = build(rnn=rnn)
+    x, y = data()
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (3, *SHAPE, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# 'Dummy' convs inside LSTM cells require input dim == hidden (the
+# reference has the same constraint); covered by test_dummy_model_mode.
+@pytest.mark.parametrize(
+    "conv", ["MHTransformerConv", "GATConv", "GATv2Conv"]
+)
+def test_conv_types(conv):
+    model = build(conv=conv)
+    x, y = data(1)
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dummy_model_mode():
+    model = build(dummy=True)
+    x, y = data(2)
+    params = model.init(jax.random.PRNGKey(2), x)
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remesh_input_mode():
+    """Encoder remesh path (ref seq2seq.py:493-527, fixed off-by-one)."""
+    model = build(remesh_input=True)
+    x, y = data(3)
+    params = model.init(jax.random.PRNGKey(3), x)
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remesh_every():
+    model2 = build(remesh_every=2)
+    x, y = data(4)
+    p = model2.init(jax.random.PRNGKey(4), x)
+    out = model2.apply(p, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_teacher_forcing_changes_rollout():
+    model_tf = build(teacher_forcing_ratio=1.0, deterministic=True)
+    model_free = build(teacher_forcing_ratio=0.0, deterministic=True)
+    x, y = data(5)
+    params = model_free.init(jax.random.PRNGKey(5), x)
+    out_free = model_free.apply(params, x, y)
+    out_tf = model_tf.apply(
+        params, x, y, rngs={"sampling": jax.random.PRNGKey(0)}
+    )
+    # same params, but forced rollout consumes ground truth → different
+    assert not np.allclose(np.asarray(out_free), np.asarray(out_tf))
+    assert np.isfinite(np.asarray(out_tf)).all()
+
+
+def test_preset_graph_structure():
+    gcfg = GraphConfig(image_shape=SHAPE, max_grid_size=4,
+                       thresh=float("-inf"))
+    mask = jnp.zeros(SHAPE, bool).at[:4, :4].set(True)
+    preset = create_static_heterogeneous_graph(
+        gcfg.replace(thresh=float("inf")), mask=mask
+    )
+    cfg = ModelConfig(hidden_size=6, input_features=1, input_timesteps=3,
+                      output_timesteps=3, n_layers=1, n_conv_layers=1,
+                      convolution_type="GCNConv")
+    model = Seq2Seq(cfg, gcfg)
+    x, y = data(6)
+    params = model.init(jax.random.PRNGKey(6), x, graph_structure=preset,
+                        mask=mask)
+    out = model.apply(params, x, graph_structure=preset, mask=mask)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encoder_layer0_consumes_top_layer_state():
+    """Reference quirk (ref seq2seq.py:308-316): layer 0 is fed the TOP
+    layer's previous (H, C). Verify by perturbing only the top layer's
+    parameters and observing the encoder output of layer 0 change at t>0."""
+    from quadtree_mpnnlstm_tpu.models.seq2seq import Encoder
+
+    gcfg = GraphConfig(image_shape=SHAPE, max_grid_size=4, thresh=0.3)
+    cfg = ModelConfig(hidden_size=4, input_features=1, n_layers=2,
+                      n_conv_layers=1, convolution_type="GCNConv")
+    from quadtree_mpnnlstm_tpu.graph import image_to_graph
+    from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+    x, _ = data(7)
+    xp = add_positional_encoding(x)
+    graph, d = image_to_graph(xp, gcfg)
+
+    enc = Encoder(cfg)
+    n = gcfg.n_max
+    h0 = jnp.zeros((2, n, 4))
+    params = enc.init(jax.random.PRNGKey(7), d[0], graph, h0, h0)
+
+    h1, c1 = enc.apply(params, d[0], graph, h0, h0)
+    # perturb only layer-1 (top) parameters
+    import jax as _jax
+
+    p2 = _jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 1.0 if "rnn_1" in str(path) else v, params
+    )
+    h1b, c1b = enc.apply(p2, d[0], graph, h0, h0)
+    # same layer-0 output at t=0 (top layer params unused by layer 0 yet)
+    np.testing.assert_allclose(np.asarray(h1[0]), np.asarray(h1b[0]),
+                               rtol=1e-6)
+    # at t=1, layer 0 consumes top-layer state → outputs must differ
+    h2, _ = enc.apply(params, d[1], graph, h1, c1)
+    h2b, _ = enc.apply(p2, d[1], graph, h1b, c1b)
+    assert not np.allclose(np.asarray(h2[0]), np.asarray(h2b[0]))
+
+
+def test_decoder_residual_head():
+    """Decoder output = tanh(head) + X[:, [0]] (ref seq2seq.py:174): the
+    prediction stays within ±1 of the previous value map."""
+    model = build()
+    x, y = data(8)
+    params = model.init(jax.random.PRNGKey(8), x)
+    out = np.asarray(model.apply(params, x))
+    assert np.abs(out).max() <= 2.0  # |tanh| ≤ 1 and values ≤ 1
