@@ -57,7 +57,9 @@ def main():
             hidden_size=16, dropout=0.1, n_layers=2, n_conv_layers=2,
             convolution_type="ChebConv",
         ),
-        graph_kwargs=dict(max_grid_size=8),
+        # Tight capacities: Moving-MNIST quadtrees use ~600-1500 nodes and a
+        # few thousand edges; scatter/segment cost scales with capacity.
+        graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=8192),
     )
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)

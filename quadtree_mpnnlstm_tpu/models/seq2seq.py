@@ -339,7 +339,12 @@ class _DecoderScanStep(nn.Module):
                 graph=state.graph, x=x_new, hidden=hidden, cell=cell
             )
 
-        if remeshing:
+        if remeshing and cfg.remesh_every == 1:
+            # Static fast path: the predicate is always true, and under
+            # vmap/remat a lax.cond lowers to a select that executes BOTH
+            # branches every step (measured ~10% extra) — skip it.
+            new_state = do_remesh(None)
+        elif remeshing:
             do_it = jnp.mod(t + 1, cfg.remesh_every) == 0
             new_state = jax.lax.cond(do_it, do_remesh, no_remesh, None)
         else:
