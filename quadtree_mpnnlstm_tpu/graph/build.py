@@ -22,6 +22,7 @@ from quadtree_mpnnlstm_tpu.config import GraphConfig
 from quadtree_mpnnlstm_tpu.graph.adjacency import build_adjacency
 from quadtree_mpnnlstm_tpu.graph.quadtree import decompose_levels, pixel_nodes_from_levels
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten
+from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
 
 
 def _node_positions(data0: jnp.ndarray, cfg: GraphConfig) -> jnp.ndarray:
@@ -147,9 +148,7 @@ def pixelwise_graph(
     pixel_node = jnp.where(keep, cum - 1, n_max)
     pixel_node = jnp.where(pixel_node >= n_max, n_max, pixel_node)
 
-    counts = jax.ops.segment_sum(
-        jnp.ones((p,), jnp.float32), pixel_node, num_segments=n_max + 1
-    )[:n_max]
+    counts = segment_sum_nodes(jnp.ones((p,), jnp.float32), pixel_node, n_max)
 
     cell_sizes = jnp.full((n_max,), cfg.resolution**2, jnp.float32)
     return _assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=False)

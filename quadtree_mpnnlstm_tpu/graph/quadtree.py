@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from quadtree_mpnnlstm_tpu.config import GraphConfig
+from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
 
 _NEG = -jnp.inf
 _POS = jnp.inf
@@ -172,7 +173,7 @@ def pixel_nodes_from_levels(
     node_id = jnp.where(invalid.reshape(-1), n_max, node_id)
     node_id = jnp.where(node_id >= n_max, n_max, node_id)  # capacity overflow guard
 
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(node_id, dtype=jnp.float32), node_id, num_segments=n_max + 1
-    )[:n_max]
+    counts = segment_sum_nodes(
+        jnp.ones_like(node_id, dtype=jnp.float32), node_id, n_max
+    )
     return node_id, n_nodes, counts

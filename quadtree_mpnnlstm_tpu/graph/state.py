@@ -74,12 +74,18 @@ def flatten(img: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
     segment-sum over pixels. Masked pixels carry the sentinel id and fall
     into a discard bucket.
     """
+    from quadtree_mpnnlstm_tpu.ops.segment import _use_pallas, pallas_segment_sum
+
     t, rows, cols, c = img.shape
     p = rows * cols
     n_max = graph.n_max
     flat = img.reshape(t, p, c).transpose(1, 0, 2).reshape(p, t * c)
-    summed = jax.ops.segment_sum(flat, graph.pixel_node, num_segments=n_max + 1)
-    summed = summed[:n_max]
+    if _use_pallas():
+        summed = pallas_segment_sum(flat, graph.pixel_node, n_max)
+    else:
+        summed = jax.ops.segment_sum(
+            flat, graph.pixel_node, num_segments=n_max + 1
+        )[:n_max]
     mean = summed / jnp.maximum(graph.counts, 1.0)[:, None]
     return mean.reshape(n_max, t, c).transpose(1, 0, 2)
 

@@ -16,6 +16,7 @@ from quadtree_mpnnlstm_tpu.config import GraphConfig
 from quadtree_mpnnlstm_tpu.graph.adjacency import edge_attributes
 from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
+from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
 from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
 
 
@@ -56,9 +57,7 @@ def create_static_homogeneous_graph(
 
     # Unmasked pixel count per node; zero ⇒ delete (ref: get_nan_nodes :701).
     keep_pix = (~mask.astype(bool)).reshape(-1).astype(jnp.float32)
-    unmasked = jax.ops.segment_sum(
-        keep_pix, base.pixel_node, num_segments=n_max + 1
-    )[:n_max]
+    unmasked = segment_sum_nodes(keep_pix, base.pixel_node, n_max)
     keep = (unmasked > 0) & base.node_valid
 
     new_of_old = jnp.cumsum(keep.astype(jnp.int32)) - 1  # monotone relabel

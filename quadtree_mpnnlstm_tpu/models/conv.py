@@ -30,8 +30,10 @@ from flax import linen as nn
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.ops.segment import (
     edge_softmax,
+    gather_rows,
     safe_div,
     scatter_to_dst,
+    segment_sum_nodes,
 )
 
 _glorot = nn.initializers.glorot_uniform()
@@ -53,9 +55,7 @@ def _sym_norm(graph: GraphTensors) -> jnp.ndarray:
     """D^{-1/2} A D^{-1/2} coefficients per edge."""
     w = _edge_weight(graph)
     n = graph.n_max
-    deg = jax.ops.segment_sum(
-        w, graph.edge_dst, num_segments=n + 1, indices_are_sorted=True
-    )[:n]
+    deg = segment_sum_nodes(w, graph.edge_dst, n, indices_sorted=True)
     dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     return dinv[graph.edge_dst] * w * dinv[graph.edge_src]
 
@@ -70,7 +70,7 @@ class GCNConv(nn.Module):
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
         coeff = _sym_norm(graph)
         h = _dense(self.out_channels, use_bias=False, name="lin")(x)
-        msg = coeff[:, None] * h[graph.edge_src]
+        msg = coeff[:, None] * gather_rows(h, graph.edge_src)
         out = scatter_to_dst(msg, graph.edge_dst, graph.edge_valid, graph.n_max)
         if self.use_bias:
             out = out + self.param(
@@ -93,7 +93,7 @@ class ChebConv(nn.Module):
 
         def a_mul(z):
             return scatter_to_dst(
-                coeff[:, None] * z[graph.edge_src],
+                coeff[:, None] * gather_rows(z, graph.edge_src),
                 graph.edge_dst,
                 graph.edge_valid,
                 graph.n_max,
@@ -141,8 +141,8 @@ class TransformerConv(nn.Module):
         k = _dense(h * d, name="lin_key")(x).reshape(n, h, d)
         v = _dense(h * d, name="lin_value")(x).reshape(n, h, d)
 
-        kj = k[graph.edge_src]
-        vj = v[graph.edge_src]
+        kj = gather_rows(k, graph.edge_src)
+        vj = gather_rows(v, graph.edge_src)
         if self.edge_dim is not None:
             e = _dense(h * d, use_bias=False, name="lin_edge")(
                 graph.edge_attr
@@ -150,7 +150,7 @@ class TransformerConv(nn.Module):
             kj = kj + e
             vj = vj + e
 
-        logits = jnp.sum(q[graph.edge_dst] * kj, axis=-1) / jnp.sqrt(
+        logits = jnp.sum(gather_rows(q, graph.edge_dst) * kj, axis=-1) / jnp.sqrt(
             jnp.asarray(d, x.dtype)
         )
         alpha = edge_softmax(logits, graph.edge_dst, graph.edge_valid, n)
@@ -237,7 +237,7 @@ class _GATBase(nn.Module):
         if self.v2:
             xl = _dense(h * d, use_bias=self.use_bias, name="lin_l")(x).reshape(n, h, d)
             xr = _dense(h * d, use_bias=self.use_bias, name="lin_r")(x).reshape(n, h, d)
-            feat = xl[src] + xr[dst]
+            feat = gather_rows(xl, src) + gather_rows(xr, dst)
             if self.edge_dim is not None:
                 e = _dense(h * d, use_bias=False, name="lin_edge")(attr).reshape(
                     -1, h, d
@@ -252,7 +252,8 @@ class _GATBase(nn.Module):
             xw = _dense(h * d, use_bias=False, name="lin")(x).reshape(n, h, d)
             att_src = self.param("att_src", _glorot, (1, h, d))
             att_dst = self.param("att_dst", _glorot, (1, h, d))
-            a = jnp.sum(xw * att_src, -1)[src] + jnp.sum(xw * att_dst, -1)[dst]
+            a = (gather_rows(jnp.sum(xw * att_src, -1), src)
+                 + gather_rows(jnp.sum(xw * att_dst, -1), dst))
             if self.edge_dim is not None:
                 e = _dense(h * d, use_bias=False, name="lin_edge")(attr).reshape(
                     -1, h, d
@@ -265,7 +266,7 @@ class _GATBase(nn.Module):
         alpha = edge_softmax(logits, dst, valid, n)
         alpha = nn.Dropout(rate=self.dropout)(alpha, deterministic=deterministic)
         out = scatter_to_dst(
-            alpha[..., None] * src_feat[src], dst, valid, n,
+            alpha[..., None] * gather_rows(src_feat, src), dst, valid, n,
             indices_sorted=False,
         )
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)

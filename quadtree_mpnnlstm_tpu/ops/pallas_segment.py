@@ -17,6 +17,14 @@ This is the framework's stand-in for torch-scatter's CUDA kernels
 Sentinel convention: ids may contain ``n_out`` (invalid lane); those rows
 match no one-hot column and are dropped, mirroring the XLA path's extra
 bucket.
+
+Numerics: with ``Precision.HIGHEST`` the MXU runs enough bf16 passes for
+f32-level accuracy, but summation order differs from XLA's scatter, so
+results match to ~1e-7 per op rather than bitwise. Through a *remeshing*
+rollout this is amplified: a 1e-7 change near the split threshold flips a
+quadtree cell and downstream values diverge macroscopically — inherent to
+the model family (any two valid f32 schedules diverge the same way), not a
+kernel defect. Non-remeshing paths agree exactly in practice.
 """
 
 from __future__ import annotations
@@ -50,6 +58,9 @@ def _kernel(ids_ref, vals_ref, out_ref):
         vals_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),  # onehotᵀ @ vals
         preferred_element_type=out_ref.dtype,
+        # One-hot entries are exact; values must not round to bf16 — the
+        # sums feed a recurrent rollout where 1e-2 error compounds.
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -12,10 +12,62 @@ gradients through ``where``.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
 _NEG_BIG = -1e30
+
+
+def _use_pallas() -> bool:
+    """MXU one-hot-matmul aggregation on TPU; XLA scatter elsewhere.
+    Override with QTM_NO_PALLAS=1."""
+    if os.environ.get("QTM_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def pallas_segment_sum(values: jnp.ndarray, ids: jnp.ndarray, n_out: int):
+    from quadtree_mpnnlstm_tpu.ops.pallas_segment import segment_sum_pallas
+
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    out = segment_sum_pallas(values, ids, n_out)
+    return out[:, 0] if squeeze else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(x: jnp.ndarray, ids: jnp.ndarray, use_pallas_bwd: bool = True):
+    """``x[ids]`` with a scatter-free backward.
+
+    The VJP of a gather is a scatter-add — the slowest op class on TPU. Here
+    the backward runs through the Pallas one-hot-matmul segment sum instead
+    (ids need not be sorted). Out-of-range ids clamp like jnp indexing.
+    """
+    return jnp.take(x, jnp.minimum(ids, x.shape[0] - 1), axis=0)
+
+
+def _gather_fwd(x, ids, use_pallas_bwd):
+    return gather_rows(x, ids, use_pallas_bwd), (ids, x.shape[0])
+
+
+def _gather_bwd(use_pallas_bwd, res, g):
+    ids, n = res
+    ids = jnp.minimum(ids, n - 1)
+    shape = g.shape
+    if use_pallas_bwd and _use_pallas():
+        dx = pallas_segment_sum(g.reshape(shape[0], -1), ids, n)
+    else:
+        dx = jax.ops.segment_sum(
+            g.reshape(shape[0], -1), ids, num_segments=n
+        )
+    return (dx.reshape((n,) + shape[1:]), None)
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
 def safe_div(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
@@ -28,12 +80,20 @@ def segment_sum_nodes(
     values: jnp.ndarray,
     ids: jnp.ndarray,
     n_max: int,
+    indices_sorted: bool = False,
 ) -> jnp.ndarray:
     """Sum ``values`` (L, ...) into ``n_max`` node rows by ``ids`` (L,).
 
-    ids may contain the sentinel ``n_max`` (dropped via an extra bucket).
+    ids may contain the sentinel ``n_max`` (dropped). Routes through the
+    Pallas MXU kernel on TPU, XLA scatter elsewhere.
     """
-    out = jax.ops.segment_sum(values, ids, num_segments=n_max + 1)
+    if _use_pallas():
+        shape = values.shape
+        out = pallas_segment_sum(values.reshape(shape[0], -1), ids, n_max)
+        return out.reshape((n_max,) + shape[1:])
+    out = jax.ops.segment_sum(
+        values, ids, num_segments=n_max + 1, indices_are_sorted=indices_sorted
+    )
     return out[:n_max]
 
 
@@ -60,6 +120,12 @@ def scatter_to_dst(
             edge_valid.reshape((-1,) + (1,) * (messages.ndim - 1)),
             messages, 0.0,
         )
+    if _use_pallas():
+        shape = messages.shape
+        out = pallas_segment_sum(
+            messages.reshape(shape[0], -1), edge_dst, n_max
+        )
+        return out.reshape((n_max,) + shape[1:])
     out = jax.ops.segment_sum(
         messages, edge_dst, num_segments=n_max + 1,
         indices_are_sorted=indices_sorted,
