@@ -93,7 +93,7 @@ def load_real_dataset(data_glob: str):
     return GriddedDataset.from_xarray(ds), mask
 
 
-def synthetic_dataset(shape=(32, 32), years=(2007, 2014), seed=21):
+def synthetic_dataset(shape=(32, 32), years=(2007, 2018), seed=21):
     """Season-driven synthetic ice field exercising the full pipeline."""
     rng = np.random.default_rng(seed)
     times = np.arange(

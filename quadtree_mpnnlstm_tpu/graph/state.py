@@ -112,3 +112,37 @@ def unflatten(
     padded = jnp.concatenate([data, fill_row], axis=-2)  # sentinel row
     img = jnp.take(padded, graph.pixel_node, axis=-2)
     return img.reshape(data.shape[:-2] + (rows, cols, data.shape[-1]))
+
+
+def grouped_mean(arr: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Label-wise means of a 1-D array; -1 labels are excluded.
+
+    Parity: ref graph_functions.py:421-441 (bincount formulation). Output
+    length is ``max_label + 1`` inferred statically from the label dtype
+    range — callers pass ``num_groups`` via :func:`grouped_mean_n` when the
+    group count is known (required under jit)."""
+    labels = jnp.asarray(labels)
+    n = int(labels.max()) + 1  # concrete only outside jit (parity helper)
+    return grouped_mean_n(arr, labels, n)
+
+
+def grouped_mean_n(arr: jnp.ndarray, labels: jnp.ndarray, num_groups: int):
+    """jit-safe grouped mean with a static group count."""
+    from quadtree_mpnnlstm_tpu.ops.segment import safe_div, segment_sum_nodes
+
+    labels = jnp.where(labels < 0, num_groups, labels)
+    sums = segment_sum_nodes(arr.astype(jnp.float32), labels, num_groups)
+    cnts = segment_sum_nodes(jnp.ones_like(arr, jnp.float32), labels, num_groups)
+    return safe_div(sums, cnts)
+
+
+def grouped_mean_along_axis_2d(arr, labels, axes):
+    """Apply :func:`grouped_mean` along two axes (ref graph_functions.py:444-448)."""
+    import numpy as np
+
+    a = np.apply_along_axis(
+        lambda v: np.asarray(grouped_mean(v, labels)), axes[0], np.asarray(arr)
+    )
+    return np.apply_along_axis(
+        lambda v: np.asarray(grouped_mean(v, labels)), axes[1], a
+    )
