@@ -79,7 +79,7 @@ def main():
     params, opt_state = model.params, model.opt_state
 
     # warmup / compile
-    params, opt_state, loss = step(
+    params, opt_state, loss, _ = step(
         params, opt_state, batches[0][0], batches[0][1], clim, mask, mask,
         None, key,
     )
@@ -91,7 +91,7 @@ def main():
     st = time.perf_counter()
     last = 0.0
     for i in range(1, N_STEPS + 1):
-        params, opt_state, loss = step(
+        params, opt_state, loss, _ = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
         )

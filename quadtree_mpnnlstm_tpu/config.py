@@ -68,6 +68,7 @@ class GraphConfig:
     resolution: float = 0.25
     n_max: Optional[int] = None
     e_max: Optional[int] = None
+    max_degree: Optional[int] = None
 
     def __post_init__(self):
         assert _is_power_of_two(self.max_grid_size), (
@@ -78,6 +79,17 @@ class GraphConfig:
             object.__setattr__(self, "n_max", self.num_pixels)
         if self.e_max is None:
             object.__setattr__(self, "e_max", self.num_pixels * self.num_dirs)
+        if self.max_degree is None:
+            # Provable quadtree bound: a size-s cell has ≤ s neighbours per
+            # side (+ self-loop, + corner cells in 8-neighbour mode); the
+            # pixelwise mesh has degree ≤ 4 (8 with corners), no self-loops.
+            if self.pixelwise:
+                deg = 8 if self.edges_at_corners else 4
+            else:
+                deg = 4 * self.max_grid_size + 5
+                if self.edges_at_corners:
+                    deg += 4
+            object.__setattr__(self, "max_degree", min(deg, self.e_max))
 
     # -- derived static quantities ------------------------------------------------
 

@@ -105,7 +105,16 @@ def build_adjacency(
 
     edge_attr = edge_attributes(edge_src, edge_dst, edge_valid, node_xy, cfg)
     n_edges = jnp.minimum(n_edges, e_max)
-    return edge_src, edge_dst, edge_valid, edge_attr, n_edges
+    src_sorted, src_perm = source_sorted_view(edge_src)
+    return edge_src, edge_dst, edge_valid, edge_attr, n_edges, src_perm, src_sorted
+
+
+def source_sorted_view(edge_src: jnp.ndarray):
+    """(src_sorted, src_perm): the edge permutation ordered by source id
+    (sentinels last). Gives gathers-by-src a CSR adjoint (ops/csr.py)."""
+    iota = jnp.arange(edge_src.shape[0], dtype=jnp.int32)
+    src_sorted, src_perm = lax.sort((edge_src, iota), num_keys=1)
+    return src_sorted, src_perm
 
 
 def edge_attributes(

@@ -61,13 +61,17 @@ def _assemble(
         edge_attr=jnp.zeros((cfg.e_max, cfg.edge_dim), jnp.float32),
         n_edges=jnp.zeros((), jnp.int32),
         node_xy=jnp.zeros((n_max, 2), jnp.float32),
+        src_perm=jnp.zeros((cfg.e_max,), jnp.int32),
+        src_sorted=jnp.zeros((cfg.e_max,), jnp.int32),
+        max_degree=cfg.max_degree,
     )
 
     data = flatten(img, graph)  # (t, n_max, c)
     node_xy = _node_positions(data[0], cfg)
 
     node_img = pixel_node.reshape(cfg.image_shape)
-    edge_src, edge_dst, edge_valid, edge_attr, n_edges = build_adjacency(
+    (edge_src, edge_dst, edge_valid, edge_attr, n_edges,
+     src_perm, src_sorted) = build_adjacency(
         node_img, node_xy, cfg, dedup=dedup
     )
 
@@ -82,6 +86,8 @@ def _assemble(
         edge_attr=edge_attr,
         n_edges=n_edges,
         node_xy=node_xy,
+        src_perm=src_perm,
+        src_sorted=src_sorted,
     )
     return graph, data
 

@@ -47,6 +47,13 @@ class GraphTensors:
     # -- geometry --------------------------------------------------------------
     node_xy: jnp.ndarray     # (n_max, 2) physical (x, y) of node centroids
 
+    # -- source-sorted edge view (for scatter-free gather adjoints) ----------
+    src_perm: jnp.ndarray    # (e_max,) int32 permutation sorting edges by src
+    src_sorted: jnp.ndarray  # (e_max,) int32 src ids in sorted order
+
+    # static per-node degree cap enabling CSR reductions; 0 disables
+    max_degree: int = struct.field(pytree_node=False, default=0)
+
     @property
     def n_max(self) -> int:
         return self.counts.shape[0]

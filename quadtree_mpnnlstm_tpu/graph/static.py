@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from quadtree_mpnnlstm_tpu.config import GraphConfig
-from quadtree_mpnnlstm_tpu.graph.adjacency import edge_attributes
+from quadtree_mpnnlstm_tpu.graph.adjacency import edge_attributes, source_sorted_view
 from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
@@ -94,6 +94,7 @@ def create_static_homogeneous_graph(
     e_keep = edge_dst < n_max
     edge_attr = edge_attributes(edge_src, edge_dst, e_keep, node_xy, cfg)
     n_edges = jnp.sum(e_keep).astype(jnp.int32)
+    src_sorted, src_perm = source_sorted_view(edge_src)
 
     return GraphTensors(
         pixel_node=pixel_node,
@@ -106,4 +107,7 @@ def create_static_homogeneous_graph(
         edge_attr=edge_attr,
         n_edges=n_edges,
         node_xy=node_xy,
+        src_perm=src_perm,
+        src_sorted=src_sorted,
+        max_degree=cfg.max_degree,
     )

@@ -29,8 +29,12 @@ from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.ops.segment import (
+    aggregate_to_dst,
     edge_softmax,
+    edge_softmax_graph,
+    gather_dst,
     gather_rows,
+    gather_src,
     safe_div,
     scatter_to_dst,
     segment_sum_nodes,
@@ -55,7 +59,13 @@ def _sym_norm(graph: GraphTensors) -> jnp.ndarray:
     """D^{-1/2} A D^{-1/2} coefficients per edge."""
     w = _edge_weight(graph)
     n = graph.n_max
-    deg = segment_sum_nodes(w, graph.edge_dst, n, indices_sorted=True)
+    if graph.max_degree > 0:
+        from quadtree_mpnnlstm_tpu.ops.csr import csr_segment_sum
+
+        deg = csr_segment_sum(w[:, None], graph.edge_dst, n,
+                              graph.max_degree)[:, 0]
+    else:
+        deg = segment_sum_nodes(w, graph.edge_dst, n, indices_sorted=True)
     dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     return dinv[graph.edge_dst] * w * dinv[graph.edge_src]
 
@@ -70,8 +80,8 @@ class GCNConv(nn.Module):
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
         coeff = _sym_norm(graph)
         h = _dense(self.out_channels, use_bias=False, name="lin")(x)
-        msg = coeff[:, None] * gather_rows(h, graph.edge_src)
-        out = scatter_to_dst(msg, graph.edge_dst, graph.edge_valid, graph.n_max)
+        msg = coeff[:, None] * gather_src(h, graph)
+        out = aggregate_to_dst(msg, graph)
         if self.use_bias:
             out = out + self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,)
@@ -92,11 +102,8 @@ class ChebConv(nn.Module):
         coeff = _sym_norm(graph)
 
         def a_mul(z):
-            return scatter_to_dst(
-                coeff[:, None] * gather_rows(z, graph.edge_src),
-                graph.edge_dst,
-                graph.edge_valid,
-                graph.n_max,
+            return aggregate_to_dst(
+                coeff[:, None] * gather_src(z, graph), graph
             )
 
         scale = 2.0 / self.lambda_max
@@ -141,8 +148,8 @@ class TransformerConv(nn.Module):
         k = _dense(h * d, name="lin_key")(x).reshape(n, h, d)
         v = _dense(h * d, name="lin_value")(x).reshape(n, h, d)
 
-        kj = gather_rows(k, graph.edge_src)
-        vj = gather_rows(v, graph.edge_src)
+        kj = gather_src(k, graph)
+        vj = gather_src(v, graph)
         if self.edge_dim is not None:
             e = _dense(h * d, use_bias=False, name="lin_edge")(
                 graph.edge_attr
@@ -150,15 +157,13 @@ class TransformerConv(nn.Module):
             kj = kj + e
             vj = vj + e
 
-        logits = jnp.sum(gather_rows(q, graph.edge_dst) * kj, axis=-1) / jnp.sqrt(
+        logits = jnp.sum(gather_dst(q, graph) * kj, axis=-1) / jnp.sqrt(
             jnp.asarray(d, x.dtype)
         )
-        alpha = edge_softmax(logits, graph.edge_dst, graph.edge_valid, n)
+        alpha = edge_softmax_graph(logits, graph)
         alpha = nn.Dropout(rate=self.dropout)(alpha, deterministic=deterministic)
 
-        out = scatter_to_dst(
-            alpha[..., None] * vj, graph.edge_dst, graph.edge_valid, n
-        )
+        out = aggregate_to_dst(alpha[..., None] * vj, graph)
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.root_weight:
             skip_dim = h * d if self.concat else d

@@ -21,19 +21,23 @@ import jax.numpy as jnp
 _NEG_BIG = -1e30
 
 
-def _use_pallas() -> bool:
-    """Opt-in (QTM_USE_PALLAS=1) MXU one-hot-matmul aggregation on TPU.
+def _pallas_mode() -> str:
+    """Where to use the MXU one-hot-matmul kernel: 'off' | 'bwd' | 'all'.
 
-    Measured trade-off on v5e: the kernel beats XLA scatter per-op at
-    default (bf16) matmul precision, but recurrent rollouts need f32-level
-    sums and at Precision.HIGHEST the one-hot matmuls under vmap cost more
-    than XLA's *sorted* scatter inside a fused program (65 → 4.5 frames/s
-    on the Moving-MNIST train step). Sorted-sentinel edge lists make the
-    XLA path the better default; the kernel remains available for unsorted
-    aggregation workloads."""
-    if not os.environ.get("QTM_USE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    Measured trade-offs on v5e (Moving-MNIST train step): the *forward*
+    aggregations ride sorted-sentinel edge lists, where XLA's sorted
+    scatter inside a fused program beats the f32-precision one-hot matmul
+    ('all' gave 65 → 4.5 frames/s). The *backward* of every feature gather
+    is an UNSORTED scatter-add — XLA's worst case standalone — but measured
+    end-to-end even 'bwd' loses to XLA's fused scatters (57 vs 65 frames/s),
+    so the default is 'off'. Env override: QTM_PALLAS=off|bwd|all."""
+    if jax.default_backend() != "tpu":
+        return "off"
+    return os.environ.get("QTM_PALLAS", "off")
+
+
+def _use_pallas() -> bool:
+    return _pallas_mode() == "all"
 
 
 def pallas_segment_sum(values: jnp.ndarray, ids: jnp.ndarray, n_out: int):
@@ -65,7 +69,7 @@ def _gather_bwd(use_pallas_bwd, res, g):
     ids, n = res
     ids = jnp.minimum(ids, n - 1)
     shape = g.shape
-    if use_pallas_bwd and _use_pallas():
+    if use_pallas_bwd and _pallas_mode() in ("bwd", "all"):
         dx = pallas_segment_sum(g.reshape(shape[0], -1), ids, n)
     else:
         dx = jax.ops.segment_sum(
@@ -162,3 +166,67 @@ def edge_softmax(
     ex = jnp.where(v, ex, 0.0)
     denom = jax.ops.segment_sum(ex, edge_dst, num_segments=n_max + 1)
     return safe_div(ex, denom[edge_dst])
+
+
+# --------------------------------------------------------------------------
+# Graph-aware dispatchers: CSR (scatter-free, ops/csr.py) when the graph
+# carries a degree cap, XLA scatter / plain gather otherwise.
+# --------------------------------------------------------------------------
+
+
+def aggregate_to_dst(messages: jnp.ndarray, graph) -> jnp.ndarray:
+    """Sum per-edge messages at destination nodes using the graph's sorted
+    edge list; both directions scatter-free when ``graph.max_degree`` > 0."""
+    if graph.max_degree > 0:
+        from quadtree_mpnnlstm_tpu.ops.csr import csr_segment_sum
+
+        return csr_segment_sum(
+            messages, graph.edge_dst, graph.n_max, graph.max_degree
+        )
+    return scatter_to_dst(
+        messages, graph.edge_dst, graph.edge_valid, graph.n_max
+    )
+
+
+def gather_src(x: jnp.ndarray, graph) -> jnp.ndarray:
+    """x[edge_src] with a CSR adjoint (via the graph's source-sorted view)."""
+    if graph.max_degree > 0:
+        from quadtree_mpnnlstm_tpu.ops.csr import gather_src_csr
+
+        return gather_src_csr(
+            x, graph.edge_src, graph.src_perm, graph.src_sorted,
+            graph.n_max, graph.max_degree,
+        )
+    return gather_rows(x, graph.edge_src)
+
+
+def gather_dst(x: jnp.ndarray, graph) -> jnp.ndarray:
+    """x[edge_dst] with a CSR adjoint (ids already sorted)."""
+    if graph.max_degree > 0:
+        from quadtree_mpnnlstm_tpu.ops.csr import gather_dst_csr
+
+        return gather_dst_csr(x, graph.edge_dst, graph.n_max, graph.max_degree)
+    return gather_rows(x, graph.edge_dst)
+
+
+def edge_softmax_graph(logits: jnp.ndarray, graph) -> jnp.ndarray:
+    """Masked edge softmax over each destination's incoming edges, CSR-based
+    when available (attention convs on the builders' sorted edge lists)."""
+    if graph.max_degree == 0:
+        return edge_softmax(logits, graph.edge_dst, graph.edge_valid,
+                            graph.n_max)
+    from quadtree_mpnnlstm_tpu.ops.csr import csr_segment_max, csr_segment_sum
+
+    n, deg = graph.n_max, graph.max_degree
+    v = graph.edge_valid[:, None] if logits.ndim == 2 else graph.edge_valid
+    logits = jnp.where(v, logits, _NEG_BIG)
+    seg_max = csr_segment_max(logits, graph.edge_dst, n, deg)
+    seg_max = jax.lax.stop_gradient(jnp.maximum(seg_max, _NEG_BIG))
+    # gather of a stop-gradient needs no CSR adjoint
+    ex = jnp.exp(logits - jnp.take(
+        jnp.concatenate([seg_max, jnp.zeros((1,) + seg_max.shape[1:],
+                                            seg_max.dtype)], 0),
+        jnp.minimum(graph.edge_dst, n), axis=0))
+    ex = jnp.where(v, ex, 0.0)
+    denom = csr_segment_sum(ex, graph.edge_dst, n, deg)
+    return safe_div(ex, gather_dst(denom, graph))

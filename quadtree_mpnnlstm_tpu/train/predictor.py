@@ -285,6 +285,8 @@ class NextFramePredictorS2S(NextFramePredictor):
                 total = total + loss_func(y_hat, y_c, mask)
             return total
 
+        debug = self.debug
+
         def train_step(params, opt_state, x, y, clim, mask, hir, gs, rng):
             keys = jax.random.split(rng, x.shape[0] * 2).reshape(
                 x.shape[0], 2, 2
@@ -299,9 +301,26 @@ class NextFramePredictorS2S(NextFramePredictor):
                 return jnp.mean(losses)
 
             loss, grads = jax.value_and_grad(batch_loss)(params)
+            if debug:
+                # encoder/decoder gradient norms (ref mpnnlstm.py:272-276)
+                def tree_norm(t):
+                    leaves = jax.tree_util.tree_leaves(t)
+                    if not leaves:
+                        return jnp.zeros(())
+                    return jnp.sqrt(
+                        sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves)
+                    )
+
+                p = grads["params"]
+                aux = {
+                    "enc_grad_norm": tree_norm(p.get("enc", {})),
+                    "dec_grad_norm": tree_norm(p.get("dec", {})),
+                }
+            else:
+                aux = {}
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, loss, aux
 
         step = jax.jit(train_step, donate_argnums=(0, 1))
         self._steps[key] = step
@@ -387,13 +406,22 @@ class NextFramePredictorS2S(NextFramePredictor):
             for x, y, launch in loader_train:
                 clim = self._clim_batch(climatology, launch)
                 self.rng, key = jax.random.split(self.rng)
-                self.params, self.opt_state, loss = train_step(
+                self.params, self.opt_state, loss, aux = train_step(
                     self.params, self.opt_state,
                     jnp.asarray(x), jnp.asarray(y), jnp.asarray(clim),
                     mask_a, hir_a, graph_structure, key,
                 )
                 loss = float(loss)
                 self.writer.scalar("Loss/train", loss, batch_step)
+                if aux:  # debug grad norms (ref mpnnlstm.py:272-276)
+                    self.writer.scalar(
+                        "Grad/encoder/grad_norms",
+                        float(aux["enc_grad_norm"]), batch_step,
+                    )
+                    self.writer.scalar(
+                        "Grad/decoder/grad_norms",
+                        float(aux["dec_grad_norm"]), batch_step,
+                    )
                 running += loss
                 steps += 1
                 batch_step += 1
