@@ -80,16 +80,12 @@ class GraphConfig:
         if self.e_max is None:
             object.__setattr__(self, "e_max", self.num_pixels * self.num_dirs)
         if self.max_degree is None:
-            # Provable quadtree bound: a size-s cell has ≤ s neighbours per
-            # side (+ self-loop, + corner cells in 8-neighbour mode); the
-            # pixelwise mesh has degree ≤ 4 (8 with corners), no self-loops.
-            if self.pixelwise:
-                deg = 8 if self.edges_at_corners else 4
-            else:
-                deg = 4 * self.max_grid_size + 5
-                if self.edges_at_corners:
-                    deg += 4
-            object.__setattr__(self, "max_degree", min(deg, self.e_max))
+            # CSR aggregation (ops/csr.py) is opt-in: measured on v5e, the
+            # (n_max × max_degree) gather expansion loses to XLA's sorted
+            # scatter inside the fused train step (18.5 vs 65 frames/s).
+            # Enable with max_degree=cfg.degree_bound for workloads where
+            # gathers win (or when a Pallas CSR walker lands).
+            object.__setattr__(self, "max_degree", 0)
 
     # -- derived static quantities ------------------------------------------------
 
@@ -122,6 +118,19 @@ class GraphConfig:
     @property
     def pixelwise(self) -> bool:
         return self.thresh == NEG_INF
+
+    @property
+    def degree_bound(self) -> int:
+        """Provable per-node degree bound: a size-s cell has ≤ s neighbours
+        per side (+ self-loop, + corner cells in 8-neighbour mode); the
+        pixelwise mesh has degree ≤ 4 (8 with corners), no self-loops."""
+        if self.pixelwise:
+            deg = 8 if self.edges_at_corners else 4
+        else:
+            deg = 4 * self.max_grid_size + 5
+            if self.edges_at_corners:
+                deg += 4
+        return min(deg, self.e_max)
 
     @property
     def edge_dim(self) -> int:

@@ -109,6 +109,7 @@ def test_quadtree_degree_within_bound():
         rng = np.random.default_rng(seed)
         shape = (32, 32)
         cfg = GraphConfig(image_shape=shape, max_grid_size=8, thresh=0.15)
+        cfg = cfg.replace(max_degree=cfg.degree_bound)
         img = rng.random((1, *shape, 1)).astype(np.float32)
         mask = rng.random(shape) < 0.1
         x = add_positional_encoding(jnp.asarray(img))
@@ -133,10 +134,9 @@ def test_model_grads_csr_vs_scatter():
                       convolution_type="TransformerConv", dropout=0.0)
 
     outs = []
-    for deg in (0, None):  # fallback vs CSR default
-    # (max_degree=0 forces the scatter path end-to-end)
-        gcfg = GraphConfig(image_shape=shape, max_grid_size=4, thresh=0.3,
-                           max_degree=deg)
+    base = GraphConfig(image_shape=shape, max_grid_size=4, thresh=0.3)
+    for deg in (0, base.degree_bound):  # scatter path vs CSR path
+        gcfg = base.replace(max_degree=deg)
         model = Seq2Seq(cfg, gcfg)
         params = model.init(jax.random.PRNGKey(0), x)
 
