@@ -24,12 +24,14 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--thresh", type=float, default=0.1)
+    parser.add_argument("--t-in", type=int, default=4)   # ref notebook cell 1
+    parser.add_argument("--t-out", type=int, default=10)
     parser.add_argument("--sweep-thresholds", action="store_true")
     parser.add_argument("--render", default=None,
                         help="write prediction grids to this png prefix")
     args = parser.parse_args(argv)
 
-    t_in, t_out = 4, 10  # ref notebook cell 1
+    t_in, t_out = args.t_in, args.t_out
     mnist_kwargs = dict(
         input_timesteps=t_in,
         output_timesteps=t_out,

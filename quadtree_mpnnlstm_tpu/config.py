@@ -163,6 +163,7 @@ class ModelConfig:
     remesh_input: bool = False
     remesh_every: int = 1
     concat_layers_dim: int = 1
+    fused_gates: bool = True  # shared-aggregation gate convs (models/fused.py)
 
     @property
     def node_input_features(self) -> int:

@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.models.conv import GraphConv
+from quadtree_mpnnlstm_tpu.models.fused import FUSABLE, FusedGateConvStack
 
 
 def gate_conv_module(
@@ -53,11 +54,17 @@ def gate_conv_module(
 
 
 class GConvLSTM(nn.Module):
-    """Peephole graph-conv LSTM (ref model/model.py:263-463)."""
+    """Peephole graph-conv LSTM (ref model/model.py:263-463).
+
+    With GCN/Cheb convolutions the eight per-gate conv stacks run through
+    :class:`FusedGateConvStack` (shared aggregations); ``fused=False``
+    restores the per-gate vmapped layout (used by layout-sensitive tests).
+    """
 
     out_channels: int
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
+    fused: bool = True
 
     @nn.compact
     def __call__(
@@ -69,15 +76,21 @@ class GConvLSTM(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         d = self.out_channels
-        conv_x = gate_conv_module(
-            4, self.convolution_type, d, self.n_conv_layers, "conv_x"
-        )
-        conv_h = gate_conv_module(
-            4, self.convolution_type, d, self.n_conv_layers, "conv_h"
-        )
-        gx = conv_x(x, graph, deterministic)  # (4, N, d) — gates i, f, c, o
-        gh = conv_h(h, graph, deterministic)
-        g = gx + gh
+        if self.fused and self.convolution_type in FUSABLE:
+            g = FusedGateConvStack(
+                self.convolution_type, d, self.n_conv_layers, 4,
+                name="gates",
+            )(x, h, graph, deterministic)  # (4, N, d) — gates i, f, c, o
+        else:
+            conv_x = gate_conv_module(
+                4, self.convolution_type, d, self.n_conv_layers, "conv_x"
+            )
+            conv_h = gate_conv_module(
+                4, self.convolution_type, d, self.n_conv_layers, "conv_h"
+            )
+            g = conv_x(x, graph, deterministic) + conv_h(
+                h, graph, deterministic
+            )
 
         zeros = nn.initializers.zeros
         w_ci = self.param("w_c_i", zeros, (1, d))
@@ -104,26 +117,39 @@ class GConvGRU(nn.Module):
     out_channels: int
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):
         d = self.out_channels
-        gx = gate_conv_module(
-            3, self.convolution_type, d, self.n_conv_layers, "conv_x"
-        )(x, graph, deterministic)  # gates z, r, candidate
-        gh = gate_conv_module(
-            2, self.convolution_type, d, self.n_conv_layers, "conv_h"
-        )(h, graph, deterministic)  # gates z, r
-
-        z = nn.sigmoid(gx[0] + gh[0])
-        r = nn.sigmoid(gx[1] + gh[1])
-        h_cand = GraphConv(
-            convolution_type=self.convolution_type,
-            out_channels=d,
-            n_layers=self.n_conv_layers,
-            name="conv_h_candidate",
-        )(h * r, graph, deterministic=deterministic)
-        h_tilde = jnp.tanh(gx[2] + h_cand)
+        if self.fused and self.convolution_type in FUSABLE:
+            zr = FusedGateConvStack(
+                self.convolution_type, d, self.n_conv_layers, 2,
+                name="gates_zr",
+            )(x, h, graph, deterministic)
+            z = nn.sigmoid(zr[0])
+            r = nn.sigmoid(zr[1])
+            cand = FusedGateConvStack(
+                self.convolution_type, d, self.n_conv_layers, 1,
+                name="gate_candidate",
+            )(x, h * r, graph, deterministic)[0]
+            h_tilde = jnp.tanh(cand)
+        else:
+            gx = gate_conv_module(
+                3, self.convolution_type, d, self.n_conv_layers, "conv_x"
+            )(x, graph, deterministic)  # gates z, r, candidate
+            gh = gate_conv_module(
+                2, self.convolution_type, d, self.n_conv_layers, "conv_h"
+            )(h, graph, deterministic)  # gates z, r
+            z = nn.sigmoid(gx[0] + gh[0])
+            r = nn.sigmoid(gx[1] + gh[1])
+            h_cand = GraphConv(
+                convolution_type=self.convolution_type,
+                out_channels=d,
+                n_layers=self.n_conv_layers,
+                name="conv_h_candidate",
+            )(h * r, graph, deterministic=deterministic)
+            h_tilde = jnp.tanh(gx[2] + h_cand)
         h_new = z * h + (1.0 - z) * h_tilde
         return h_new, h_new, c
 

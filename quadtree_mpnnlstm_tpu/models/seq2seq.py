@@ -67,12 +67,16 @@ class Seq2SeqState:
 
 def _make_cells(cfg: ModelConfig, n_conv_layers: int, name: str):
     cell_cls = RNN_CELLS[cfg.rnn_type]
+    kw = {}
+    if cfg.rnn_type in ("LSTM", "GRU"):
+        kw["fused"] = cfg.fused_gates
     return [
         cell_cls(
             out_channels=cfg.hidden_size,
             n_conv_layers=n_conv_layers,
             convolution_type=cfg.convolution_type,
             name=f"{name}_{i}",
+            **kw,
         )
         for i in range(cfg.n_layers)
     ]

@@ -141,6 +141,7 @@ class NextFramePredictorS2S(NextFramePredictor):
             dummy=mk.pop("dummy", False),
             remesh_input=remesh_input,
             remesh_every=mk.pop("remesh_every", 1),
+            fused_gates=mk.pop("fused_gates", True),
         )
         assert not mk, f"unknown model_kwargs: {sorted(mk)}"
 

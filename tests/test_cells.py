@@ -33,7 +33,7 @@ def test_gconvlstm_gate_math_matches_manual():
     graph, x = make_graph()
     hid = 7
     n = graph.n_max
-    cell = GConvLSTM(out_channels=hid, n_conv_layers=2, convolution_type="GCNConv")
+    cell = GConvLSTM(out_channels=hid, n_conv_layers=2, convolution_type="GCNConv", fused=False)
     rng = jax.random.PRNGKey(0)
     h0 = jnp.asarray(np.random.default_rng(1).normal(size=(n, hid)).astype(np.float32))
     c0 = jnp.asarray(np.random.default_rng(2).normal(size=(n, hid)).astype(np.float32))
@@ -81,7 +81,7 @@ def test_gconvgru_math():
     graph, x = make_graph(seed=1)
     hid = 5
     n = graph.n_max
-    cell = GConvGRU(out_channels=hid, convolution_type="GCNConv")
+    cell = GConvGRU(out_channels=hid, convolution_type="GCNConv", fused=False)
     h0 = jnp.asarray(np.random.default_rng(3).normal(size=(n, hid)).astype(np.float32))
     c0 = jnp.zeros((n, hid))
     params = cell.init(jax.random.PRNGKey(1), x, graph, h0, c0)

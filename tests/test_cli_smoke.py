@@ -15,7 +15,7 @@ def test_mnist_demo_runs(tmp_path, monkeypatch):
     scores = mnist_demo.main([
         "--canvas", "16", "--digit", "8", "--train-samples", "8",
         "--epochs", "1", "--batch-size", "4", "--thresh", "0.1",
-        "--sweep-thresholds",
+        "--t-out", "3", "--sweep-thresholds",
     ])
     assert np.isfinite(scores["RMSE"])
 
