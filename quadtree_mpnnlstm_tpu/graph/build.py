@@ -64,6 +64,7 @@ def _assemble(
         src_perm=jnp.zeros((cfg.e_max,), jnp.int32),
         src_sorted=jnp.zeros((cfg.e_max,), jnp.int32),
         max_degree=cfg.max_degree,
+        sym_coeff=jnp.zeros((cfg.e_max,), jnp.float32),
     )
 
     data = flatten(img, graph)  # (t, n_max, c)
@@ -89,6 +90,9 @@ def _assemble(
         src_perm=src_perm,
         src_sorted=src_sorted,
     )
+    from quadtree_mpnnlstm_tpu.models.conv import compute_sym_norm
+
+    graph = graph.replace(sym_coeff=compute_sym_norm(graph))
     return graph, data
 
 

@@ -51,6 +51,11 @@ class GraphTensors:
     src_perm: jnp.ndarray    # (e_max,) int32 permutation sorting edges by src
     src_sorted: jnp.ndarray  # (e_max,) int32 src ids in sorted order
 
+    # cached D^{-1/2} A D^{-1/2} coefficient per edge (graph-constant; used
+    # by every GCN/Cheb conv — recomputing it per conv cost ~20% of a train
+    # step on the v5e profile)
+    sym_coeff: jnp.ndarray = None  # (e_max,)
+
     # static per-node degree cap enabling CSR reductions; 0 disables
     max_degree: int = struct.field(pytree_node=False, default=0)
 

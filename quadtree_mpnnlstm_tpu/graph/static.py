@@ -96,7 +96,7 @@ def create_static_homogeneous_graph(
     n_edges = jnp.sum(e_keep).astype(jnp.int32)
     src_sorted, src_perm = source_sorted_view(edge_src)
 
-    return GraphTensors(
+    out = GraphTensors(
         pixel_node=pixel_node,
         counts=counts,
         n_nodes=n_nodes,
@@ -110,4 +110,8 @@ def create_static_homogeneous_graph(
         src_perm=src_perm,
         src_sorted=src_sorted,
         max_degree=cfg.max_degree,
+        sym_coeff=None,
     )
+    from quadtree_mpnnlstm_tpu.models.conv import compute_sym_norm
+
+    return out.replace(sym_coeff=compute_sym_norm(out))

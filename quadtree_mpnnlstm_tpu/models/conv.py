@@ -56,7 +56,14 @@ def _edge_weight(graph: GraphTensors) -> jnp.ndarray:
 
 
 def _sym_norm(graph: GraphTensors) -> jnp.ndarray:
-    """D^{-1/2} A D^{-1/2} coefficients per edge."""
+    """D^{-1/2} A D^{-1/2} coefficients per edge (cached on the graph when
+    the builder provides them — they are graph-constant)."""
+    if getattr(graph, "sym_coeff", None) is not None:
+        return graph.sym_coeff
+    return compute_sym_norm(graph)
+
+
+def compute_sym_norm(graph: GraphTensors) -> jnp.ndarray:
     w = _edge_weight(graph)
     n = graph.n_max
     if graph.max_degree > 0:
