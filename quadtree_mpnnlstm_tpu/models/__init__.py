@@ -16,6 +16,15 @@ from quadtree_mpnnlstm_tpu.models.cells import (
     SplitGConvLSTM,
     DummyLSTM,
 )
+from quadtree_mpnnlstm_tpu.models.fused import FusedGateConvStack
+from quadtree_mpnnlstm_tpu.models.seq2seq import Seq2Seq, Encoder, Decoder
+from quadtree_mpnnlstm_tpu.models.mpnnlstm import MPNNLSTM, MPNNLSTMI
+from quadtree_mpnnlstm_tpu.models.cnnlstm import (
+    CNNEncoder,
+    CNNDecoder,
+    CNNLSTM,
+    CNNLSTMSeq2Seq,
+)
 __all__ = [
     "CONVOLUTIONS",
     "CONVOLUTION_KWARGS",
@@ -31,7 +40,14 @@ __all__ = [
     "GConvLSTMSimple",
     "SplitGConvLSTM",
     "DummyLSTM",
-
-
-
+    "FusedGateConvStack",
+    "Seq2Seq",
+    "Encoder",
+    "Decoder",
+    "MPNNLSTM",
+    "MPNNLSTMI",
+    "CNNEncoder",
+    "CNNDecoder",
+    "CNNLSTM",
+    "CNNLSTMSeq2Seq",
 ]

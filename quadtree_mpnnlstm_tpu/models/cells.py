@@ -15,10 +15,10 @@ Parity targets (ref model/model.py):
     treats the (N, F) input as an unbatched length-N sequence).
   * ``DummyLSTM``      — identity (ref :17-24).
 
-TPU design: the four per-gate conv stacks over the same input are executed
-as ONE vmapped conv with a leading gate axis (params stacked on axis 0), so
-XLA sees a single batched matmul + a single batched gather/segment-sum
-instead of four narrow ones (SURVEY.md §7.5).
+TPU design: with GCN/Cheb convolutions the per-gate stacks run through
+:class:`~quadtree_mpnnlstm_tpu.models.fused.FusedGateConvStack` (shared
+aggregations, 1.8× end-to-end — SURVEY.md §7.5); other conv types use one
+vmapped conv with a leading gate axis (params stacked on axis 0).
 """
 
 from __future__ import annotations

@@ -141,3 +141,23 @@ def test_test_threshold_runs():
     )
     out = model.test_threshold(ds.x[0], thresh=0.1)
     assert out is not None
+
+
+def test_binary_mode_bce():
+    """binary=True ⇒ sigmoid head + BCE loss (ref mpnnlstm.py:171,
+    seq2seq.py:177-178)."""
+    ds = make_data(4)
+    binary_y = ds.y > 0.5
+    ds.y = binary_y.astype(np.float32)
+    loader = DataLoader(ds, batch_size=2)
+    model = NextFramePredictorS2S(
+        image_shape=(16, 16), thresh=0.1, binary=True,
+        input_timesteps=3, output_timesteps=3,
+        model_kwargs=dict(hidden_size=8, n_layers=1, n_conv_layers=1,
+                          convolution_type="GCNConv"),
+        graph_kwargs=dict(max_grid_size=8),
+    )
+    model.train(loader, loader, n_epochs=2, lr=0.01)
+    assert model.loss_func_name == "BCE"
+    preds = model.predict(loader)
+    assert preds.min() >= 0.0 and preds.max() <= 1.0  # sigmoid head

@@ -252,3 +252,25 @@ def test_image_to_graph_jits_and_differentiates():
     grad = jax.grad(loss)(img)
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_corner_adjacency_parity():
+    """8-neighbour mode (ref graph_functions.py:319-327)."""
+    rng = np.random.default_rng(9)
+    shape = (12, 12)
+    img = rng.random(shape).astype(np.float32)
+    cfg = GraphConfig(image_shape=shape, max_grid_size=4, thresh=0.5,
+                      edges_at_corners=True)
+    x = add_positional_encoding(jnp.asarray(img)[None, :, :, None])
+    graph, _ = image_to_graph(x, cfg)
+
+    ref_lab = oracle.quadtree_labels(img, thresh=0.5, max_size=4)
+    ours_lab = labels_from_pixel_node(graph.pixel_node, shape, cfg.n_max)
+    bij = oracle.partition_bijection(ref_lab, ours_lab)
+    assert bij is not None
+    ref_pairs = {(bij[a], bij[b])
+                 for a, b in oracle.adjacency_pairs(ref_lab, corners=True)}
+    ev = np.asarray(graph.edge_valid)
+    ours = set(zip(np.asarray(graph.edge_src)[ev].tolist(),
+                   np.asarray(graph.edge_dst)[ev].tolist()))
+    assert ours == ref_pairs
