@@ -68,7 +68,18 @@ class FusedGateConvStack(nn.Module):
         g, d = self.n_gates, self.out_channels
         coeff = _sym_norm(graph)
 
+        import os
+
+        bf16_msg = bool(os.environ.get("QTM_BF16_MSG"))
+
         def a_mul(z):  # (N, W) → Â z
+            if bf16_msg:
+                # Experimental: halve aggregation bandwidth by carrying
+                # messages in bf16 (sums of ≤degree values; ~0.4% rounding).
+                msg = (coeff[:, None] * gather_src(z, graph)).astype(
+                    jnp.bfloat16
+                )
+                return aggregate_to_dst(msg, graph).astype(z.dtype)
             return aggregate_to_dst(coeff[:, None] * gather_src(z, graph), graph)
 
         scale = 2.0 / self.lambda_max
