@@ -207,10 +207,11 @@ def posenc(rows, cols):
     return np.stack([ii, jj], -1).astype(np.float32)
 
 
-def run_sample(model, opt, x_np, y_np, thresh=0.1, max_size=8):
-    """One reference-style training step on one sample (batch size 1)."""
+def forward_rollout(model, x_np, t_out, thresh=0.1, max_size=8):
+    """Reference-style forward (encode + autoregressive decode with remesh
+    every step) on one sample → y_hat tensor (t_out, rows, cols). Gradient
+    flows like the reference's forward; wrap in ``torch.no_grad()`` to eval."""
     t_in, rows, cols, _ = x_np.shape
-    t_out = y_np.shape[0]
     pe = posenc(rows, cols)
     xpe = np.concatenate(
         [x_np, np.repeat(pe[None], t_in, 0)], -1
@@ -259,10 +260,10 @@ def run_sample(model, opt, x_np, y_np, thresh=0.1, max_size=8):
 
         # remesh from the prediction (host round-trip, ref :434-491)
         pred_img = img.detach().numpy()[0]
-        h_img = (h.reshape(-1, n) @ mapping_t).reshape(
+        h_img = (h.permute(0, 2, 1).reshape(-1, n) @ mapping_t).reshape(
             model.n_layers, model.hidden, rows * cols
         )
-        c_img = (c.reshape(-1, n) @ mapping_t).reshape(
+        c_img = (c.permute(0, 2, 1).reshape(-1, n) @ mapping_t).reshape(
             model.n_layers, model.hidden, rows * cols
         )
         mapping_t, counts, ei, ew = build_graph(pred_img, thresh, max_size)
@@ -278,15 +279,35 @@ def run_sample(model, opt, x_np, y_np, thresh=0.1, max_size=8):
              (counts / (max_size / 2) ** 2)[:, None]], -1
         )
 
-    y_hat = torch.stack(
-        [o_ for o_ in outputs]
-    )
+    return torch.stack([o_ for o_ in outputs])
+
+
+def run_sample(model, opt, x_np, y_np, thresh=0.1, max_size=8):
+    """One reference-style training step on one sample (batch size 1)."""
+    y_hat = forward_rollout(model, x_np, y_np.shape[0], thresh, max_size)
     loss = torch.mean((y_hat[..., None] - torch.from_numpy(y_np)) ** 2)
     opt.zero_grad()
     loss.backward()
     torch.nn.utils.clip_grad_norm_(model.parameters(), 10.0)
     opt.step()
     return float(loss.detach())
+
+
+def eval_rollout(model, xs, ys, thresh=0.1, max_size=8):
+    """no_grad eval over (N, T_in, r, c, 1)/(N, T_out, r, c, 1) videos →
+    (y_hat (N, T_out, r, c), full-rollout MSE, next-frame MSE)."""
+    outs = []
+    with torch.no_grad():
+        for i in range(len(xs)):
+            outs.append(
+                forward_rollout(model, xs[i], ys.shape[1], thresh, max_size)
+                .numpy()
+            )
+    y_hat = np.stack(outs)
+    y = ys[..., 0]
+    mse = float(np.mean((y_hat - y) ** 2))
+    next_mse = float(np.mean((y_hat[:, 0] - y[:, 0]) ** 2))
+    return y_hat, mse, next_mse
 
 
 def measure(xs, ys, hidden=16, n_layers=2, thresh=0.1, max_size=8, seed=0):
