@@ -69,6 +69,22 @@ class GraphConfig:
     n_max: Optional[int] = None
     e_max: Optional[int] = None
     max_degree: Optional[int] = None
+    # Aggregation backend for the Â·z SpMM inside GCN/Cheb convolutions:
+    #   "xla"    — gather + sorted scatter-add (XLA default path)
+    #   "pallas" — fused VMEM-resident one-hot-matmul kernel
+    #              (ops/pallas_spmm.py; windows sized by agg_nt/eb/sw)
+    # (the CSR gather-expansion path is selected by max_degree > 0, as
+    # before). Replaces the round-1 QTM_PALLAS env toggle.
+    aggregation: str = "xla"
+    agg_nt: int = 128    # node-tile rows per kernel step
+    agg_eb: int = 1024   # edge-window slots per tile
+    agg_sw: int = 1024   # source-window rows per tile
+    # dtype of aggregation message payloads; "bfloat16" halves the SpMM's
+    # HBM traffic at ~0.4% rounding (replaces the QTM_BF16_MSG env toggle)
+    message_dtype: str = "float32"
+    # Raise at runtime (via jax.debug callback) when node/edge/window
+    # capacity overflows would silently drop mesh content.
+    debug_overflow: bool = False
 
     def __post_init__(self):
         assert _is_power_of_two(self.max_grid_size), (

@@ -104,9 +104,13 @@ def build_adjacency(
     edge_valid = jnp.zeros((e_max,), bool).at[slot].set(keep, mode="drop")
 
     edge_attr = edge_attributes(edge_src, edge_dst, edge_valid, node_xy, cfg)
+    # Keep the raw count so capacity overflow (edges dropped past e_max) is
+    # observable by the builder's overflow counter, not silently clamped.
+    n_edges_raw = n_edges
     n_edges = jnp.minimum(n_edges, e_max)
     src_sorted, src_perm = source_sorted_view(edge_src)
-    return edge_src, edge_dst, edge_valid, edge_attr, n_edges, src_perm, src_sorted
+    return (edge_src, edge_dst, edge_valid, edge_attr, n_edges, src_perm,
+            src_sorted, n_edges_raw)
 
 
 def source_sorted_view(edge_src: jnp.ndarray):

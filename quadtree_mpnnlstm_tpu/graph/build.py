@@ -65,6 +65,7 @@ def _assemble(
         src_sorted=jnp.zeros((cfg.e_max,), jnp.int32),
         max_degree=cfg.max_degree,
         sym_coeff=jnp.zeros((cfg.e_max,), jnp.float32),
+        msg_dtype=cfg.message_dtype,
     )
 
     data = flatten(img, graph)  # (t, n_max, c)
@@ -72,7 +73,7 @@ def _assemble(
 
     node_img = pixel_node.reshape(cfg.image_shape)
     (edge_src, edge_dst, edge_valid, edge_attr, n_edges,
-     src_perm, src_sorted) = build_adjacency(
+     src_perm, src_sorted, n_edges_raw) = build_adjacency(
         node_img, node_xy, cfg, dedup=dedup
     )
 
@@ -93,7 +94,36 @@ def _assemble(
     from quadtree_mpnnlstm_tpu.models.conv import compute_sym_norm
 
     graph = graph.replace(sym_coeff=compute_sym_norm(graph))
+
+    # -- capacity-overflow accounting (dropped nodes/edges/window misses) ----
+    overflow = (
+        jnp.maximum(n_nodes - n_max, 0).astype(jnp.int32)
+        + jnp.maximum(n_edges_raw - cfg.e_max, 0).astype(jnp.int32)
+    )
+    if cfg.aggregation == "pallas":
+        from quadtree_mpnnlstm_tpu.ops.pallas_spmm import spmm_tile_meta
+
+        meta, window_overflow = spmm_tile_meta(
+            edge_src, edge_dst, n_max, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw
+        )
+        overflow = overflow + window_overflow
+        graph = graph.replace(
+            agg_meta=meta,
+            agg=("pallas", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
+        )
+    graph = graph.replace(overflow=overflow)
+    if cfg.debug_overflow:
+        jax.debug.callback(_raise_on_overflow, overflow, ordered=False)
     return graph, data
+
+
+def _raise_on_overflow(overflow):
+    if int(overflow) > 0:
+        raise RuntimeError(
+            f"graph capacity overflow: {int(overflow)} dropped "
+            "nodes/edges/window slots — raise n_max/e_max/agg_* caps "
+            "(GraphConfig.debug_overflow=True turns this check on)"
+        )
 
 
 def image_to_graph(

@@ -56,8 +56,23 @@ class GraphTensors:
     # step on the v5e profile)
     sym_coeff: jnp.ndarray = None  # (e_max,)
 
+    # capacity-overflow counter: nodes past n_max + edges past e_max +
+    # SpMM window misses (exact zero when nothing was dropped). Surfaced
+    # so undersized caps degrade loudly, not silently.
+    overflow: jnp.ndarray = None  # () int32
+
+    # per-node-tile windows for the fused Pallas SpMM (ops/pallas_spmm.py);
+    # built when the config selects aggregation="pallas"
+    agg_meta: jnp.ndarray = None  # (T, 2) int32
+
     # static per-node degree cap enabling CSR reductions; 0 disables
     max_degree: int = struct.field(pytree_node=False, default=0)
+
+    # static aggregation backend descriptor: (name, nt, eb, sw)
+    agg: tuple = struct.field(pytree_node=False, default=("xla", 0, 0, 0))
+
+    # static dtype for aggregation message payloads ("float32"/"bfloat16")
+    msg_dtype: str = struct.field(pytree_node=False, default="float32")
 
     @property
     def n_max(self) -> int:

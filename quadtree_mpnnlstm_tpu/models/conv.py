@@ -77,6 +77,34 @@ def compute_sym_norm(graph: GraphTensors) -> jnp.ndarray:
     return dinv[graph.edge_dst] * w * dinv[graph.edge_src]
 
 
+def a_mul(z: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
+    """``Â z`` — the symmetric-normalised adjacency SpMM at the heart of
+    GCN/Cheb convolutions, dispatched by the graph's aggregation backend:
+
+      * ``pallas`` — fused VMEM-resident gather+scale+scatter kernel
+        (ops/pallas_spmm.py; window metadata cached on the graph);
+      * otherwise — XLA gather → scale → sorted scatter-add (with the CSR
+        gather-expansion adjoint when ``max_degree`` > 0).
+
+    ``GraphConfig.message_dtype="bfloat16"`` halves aggregation bandwidth
+    by carrying the per-edge messages in bf16 (sums of ≤degree values,
+    ~0.4% rounding; replaces the round-1 QTM_BF16_MSG env toggle).
+    """
+    coeff = _sym_norm(graph)
+    if graph.agg[0] == "pallas":
+        from quadtree_mpnnlstm_tpu.ops.pallas_spmm import spmm_apply
+
+        _, nt, eb, sw = graph.agg
+        return spmm_apply(
+            z, coeff, graph.edge_src, graph.edge_dst, graph.agg_meta,
+            graph.n_max, nt, eb, sw,
+        )
+    if graph.msg_dtype == "bfloat16":
+        msg = (coeff[:, None] * gather_src(z, graph)).astype(jnp.bfloat16)
+        return aggregate_to_dst(msg, graph).astype(z.dtype)
+    return aggregate_to_dst(coeff[:, None] * gather_src(z, graph), graph)
+
+
 class GCNConv(nn.Module):
     """Kipf-Welling GCN layer (no self-loop insertion, ref model.py:50)."""
 
@@ -85,10 +113,8 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
-        coeff = _sym_norm(graph)
         h = _dense(self.out_channels, use_bias=False, name="lin")(x)
-        msg = coeff[:, None] * gather_src(h, graph)
-        out = aggregate_to_dst(msg, graph)
+        out = a_mul(h, graph)
         if self.use_bias:
             out = out + self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,)
@@ -106,18 +132,11 @@ class ChebConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
-        coeff = _sym_norm(graph)
-
-        def a_mul(z):
-            return aggregate_to_dst(
-                coeff[:, None] * gather_src(z, graph), graph
-            )
-
         scale = 2.0 / self.lambda_max
 
         def l_hat(z):
             # (2/λmax)(I - Â) - I applied to z
-            return scale * (z - a_mul(z)) - z
+            return scale * (z - a_mul(z, graph)) - z
 
         tx_prev = x
         out = _dense(self.out_channels, use_bias=False, name="lin_0")(tx_prev)

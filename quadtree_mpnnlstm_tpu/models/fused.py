@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
-from quadtree_mpnnlstm_tpu.models.conv import _sym_norm
-from quadtree_mpnnlstm_tpu.ops.segment import aggregate_to_dst, gather_src
+from quadtree_mpnnlstm_tpu.models.conv import a_mul as a_mul_graph
 
 FUSABLE = ("GCNConv", "ChebConv")
 
@@ -66,21 +65,9 @@ class FusedGateConvStack(nn.Module):
     ) -> jnp.ndarray:
         assert self.convolution_type in FUSABLE, self.convolution_type
         g, d = self.n_gates, self.out_channels
-        coeff = _sym_norm(graph)
 
-        import os
-
-        bf16_msg = bool(os.environ.get("QTM_BF16_MSG"))
-
-        def a_mul(z):  # (N, W) → Â z
-            if bf16_msg:
-                # Experimental: halve aggregation bandwidth by carrying
-                # messages in bf16 (sums of ≤degree values; ~0.4% rounding).
-                msg = (coeff[:, None] * gather_src(z, graph)).astype(
-                    jnp.bfloat16
-                )
-                return aggregate_to_dst(msg, graph).astype(z.dtype)
-            return aggregate_to_dst(coeff[:, None] * gather_src(z, graph), graph)
+        def a_mul(z):  # (N, W) → Â z (backend-dispatched, conv.a_mul)
+            return a_mul_graph(z, graph)
 
         scale = 2.0 / self.lambda_max
 

@@ -1,0 +1,135 @@
+"""Fused SpMM kernel (ops/pallas_spmm.py) and capacity-overflow surfacing.
+
+The kernel is the TPU-native replacement for torch-scatter's SpMM
+(SURVEY.md §2.2/§7.4); on CPU it runs in interpret mode, so these tests
+check the exact same program the TPU compiles.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quadtree_mpnnlstm_tpu.config import GraphConfig
+from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+from quadtree_mpnnlstm_tpu.models.conv import ChebConv, a_mul
+from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
+    spmm_apply,
+    spmm_reference,
+    spmm_tile_meta,
+)
+from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+NT, EB, SW = 128, 512, 512
+
+
+def _graph(shape=(32, 32), thresh=0.3, n_max=1024, e_max=8192, **kw):
+    rng = np.random.default_rng(0)
+    cfg = GraphConfig(
+        image_shape=shape, max_grid_size=8, thresh=thresh,
+        n_max=n_max, e_max=e_max, **kw,
+    )
+    x = jnp.asarray(rng.random((2, *shape, 1)).astype(np.float32))
+    graph, data = image_to_graph(add_positional_encoding(x), cfg)
+    return cfg, graph, data
+
+
+def test_spmm_matches_oracle_fwd_and_grad():
+    cfg, graph, _ = _graph()
+    meta, ovf = spmm_tile_meta(
+        graph.edge_src, graph.edge_dst, cfg.n_max, NT, EB, SW
+    )
+    assert int(ovf) == 0
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((cfg.n_max, 20)).astype(np.float32))
+
+    ref = spmm_reference(z, graph.sym_coeff, graph.edge_src, graph.edge_dst,
+                         cfg.n_max)
+    out = spmm_apply(z, graph.sym_coeff, graph.edge_src, graph.edge_dst,
+                     meta, cfg.n_max, NT, EB, SW)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    f_k = lambda z: jnp.sum(jnp.sin(spmm_apply(
+        z, graph.sym_coeff, graph.edge_src, graph.edge_dst, meta,
+        cfg.n_max, NT, EB, SW)))
+    f_r = lambda z: jnp.sum(jnp.sin(spmm_reference(
+        z, graph.sym_coeff, graph.edge_src, graph.edge_dst, cfg.n_max)))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_k)(z)), np.asarray(jax.grad(f_r)(z)), atol=1e-5
+    )
+
+
+def test_spmm_under_vmap_per_sample_graphs():
+    cfg = GraphConfig(image_shape=(16, 16), max_grid_size=8, thresh=0.3,
+                      n_max=256, e_max=2048)
+    rng = np.random.default_rng(2)
+    xb = jnp.asarray(rng.random((3, 1, 16, 16, 1)).astype(np.float32))
+    zb = jnp.asarray(rng.standard_normal((3, cfg.n_max, 8)).astype(np.float32))
+
+    def per(x, z):
+        g, _ = image_to_graph(add_positional_encoding(x), cfg)
+        m, _ = spmm_tile_meta(g.edge_src, g.edge_dst, cfg.n_max, NT, EB, SW)
+        out = spmm_apply(z, g.sym_coeff, g.edge_src, g.edge_dst, m,
+                         cfg.n_max, NT, EB, SW)
+        ref = spmm_reference(z, g.sym_coeff, g.edge_src, g.edge_dst, cfg.n_max)
+        return out, ref
+
+    out, ref = jax.jit(jax.vmap(per))(xb, zb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_graph_backend_dispatch_equivalence():
+    """A ChebConv with aggregation='pallas' matches the XLA backend."""
+    cfg, graph, data = _graph(aggregation="pallas", agg_nt=NT, agg_eb=EB,
+                              agg_sw=SW)
+    assert graph.agg[0] == "pallas" and graph.agg_meta is not None
+    conv = ChebConv(out_channels=6)
+    params = conv.init(jax.random.PRNGKey(0), data[0], graph)
+    out_pallas = conv.apply(params, data[0], graph)
+    graph_xla = graph.replace(agg=("xla", 0, 0, 0))
+    out_xla = conv.apply(params, data[0], graph_xla)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=1e-5
+    )
+
+
+def test_a_mul_bf16_messages():
+    cfg, graph, _ = _graph()
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((cfg.n_max, 8)).astype(np.float32))
+    full = a_mul(z, graph)
+    half = a_mul(z, graph.replace(msg_dtype="bfloat16"))
+    assert half.dtype == jnp.float32
+    # bf16 payload: ~0.4% relative rounding, structure preserved
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                               rtol=2e-2, atol=2e-2)
+    assert float(jnp.abs(half - full).max()) > 0  # actually quantised
+
+
+def test_overflow_counters_and_debug_raise():
+    # ample caps → zero overflow
+    _, graph, _ = _graph()
+    assert int(graph.overflow) == 0
+
+    # node capacity too small → positive overflow count
+    _, graph_small, _ = _graph(n_max=16, e_max=256)
+    assert int(graph_small.overflow) > 0
+
+    # SpMM window too small → counted too
+    _, graph_win, _ = _graph(aggregation="pallas", agg_nt=8, agg_eb=8,
+                             agg_sw=8)
+    assert int(graph_win.overflow) > 0
+
+    # debug mode raises through the jax.debug callback
+    with pytest.raises(Exception, match="capacity overflow"):
+        _graph(n_max=16, e_max=256, debug_overflow=True)
+
+
+def test_edge_overflow_counted():
+    # e_max smaller than the true edge count, nodes fit
+    _, g_full, _ = _graph(thresh=-float("inf"), n_max=1024, e_max=4096)
+    true_edges = int(g_full.n_edges)
+    _, g_tight, _ = _graph(thresh=-float("inf"), n_max=1024,
+                           e_max=(true_edges // 2) & ~7 or 8)
+    assert int(g_tight.overflow) > 0
