@@ -7,14 +7,18 @@ frames per wall-clock second during *training* (fwd+bwd+Adam).
 
 Baseline = the same algorithm in reference style (host quadtree per remesh,
 dense mapping matmuls, batch 1) in PyTorch on CPU: measured by
-``python baselines/torch_reference.py`` on this machine → BASELINE_FPS.
+``python baselines/torch_reference.py`` on this machine → BASELINE_FPS,
+re-measurable in-run with ``--measure-baseline``.
 
-Prints exactly one JSON line.
+Default run prints exactly ONE JSON line (driver contract). ``--full``
+additionally sweeps batch sizes and backends and writes BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -23,29 +27,12 @@ BASELINE_FPS = 1.1183  # baselines/torch_reference.py, this machine (CPU)
 
 CANVAS = (64, 64)
 T_IN, T_OUT = 4, 10
-BATCH = 16
-N_STEPS = 8
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from quadtree_mpnnlstm_tpu.data import ModMovingMNISTDataset, DataLoader
+def make_predictor(batch, agg, devices=1):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
-    ds = ModMovingMNISTDataset(
-        BATCH * (N_STEPS + 1),
-        input_timesteps=T_IN,
-        output_timesteps=T_OUT,
-        canvas_size=CANVAS,
-        digit_size=(18, 18),
-        pixel_noise=0.02,
-        velocity_noise=0.0,
-        seed=0,
-    )
-
-    model = NextFramePredictorS2S(
+    return NextFramePredictorS2S(
         image_shape=CANVAS,
         thresh=0.1,
         experiment_name="bench",
@@ -58,39 +45,52 @@ def main():
             convolution_type="ChebConv",
         ),
         # Tight capacities: Moving-MNIST quadtrees use ~600-1500 nodes and a
-        # few thousand edges; scatter/segment cost scales with capacity.
-        graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=8192),
+        # few thousand edges; aggregation cost scales with capacity.
+        graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=8192,
+                          aggregation=agg),
+        dp_devices=devices,
     )
+
+
+def measure(batch, agg, n_steps, devices=1, seed=0):
+    """frames/sec for one configuration (fwd+bwd+Adam, host-synced)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadtree_mpnnlstm_tpu.data import ModMovingMNISTDataset
+
+    ds = ModMovingMNISTDataset(
+        batch * (n_steps + 1), input_timesteps=T_IN, output_timesteps=T_OUT,
+        canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
+        velocity_noise=0.0, seed=seed,
+    )
+    model = make_predictor(batch, agg, devices)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
     rows, cols = CANVAS
     mask = jnp.zeros(CANVAS, bool)
-    clim = jnp.zeros((BATCH, T_OUT, rows, cols, 1))
-
-    batches = []
-    for i in range(N_STEPS + 1):
-        sl = slice(i * BATCH, (i + 1) * BATCH)
-        batches.append(
-            (jnp.asarray(ds.x[sl]), jnp.asarray(ds.y[sl]))
-        )
+    clim = jnp.zeros((batch, T_OUT, rows, cols, 1))
+    batches = [
+        (jnp.asarray(ds.x[i * batch:(i + 1) * batch]),
+         jnp.asarray(ds.y[i * batch:(i + 1) * batch]))
+        for i in range(n_steps + 1)
+    ]
 
     key = jax.random.PRNGKey(0)
     params, opt_state = model.params, model.opt_state
 
-    # warmup / compile
+    # warmup / compile; sync per step via a host fetch (block_until_ready
+    # is unreliable on the tunneled axon platform)
     params, opt_state, loss, _ = step(
         params, opt_state, batches[0][0], batches[0][1], clim, mask, mask,
         None, key,
     )
-    float(loss)  # host sync (block_until_ready is unreliable on axon)
+    float(loss)
 
-    # Sync per step via a host fetch: on the tunneled 'axon' platform
-    # jax.block_until_ready returns without waiting for remote execution,
-    # so only a device->host transfer gives honest timings.
     st = time.perf_counter()
     last = 0.0
-    for i in range(1, N_STEPS + 1):
+    for i in range(1, n_steps + 1):
         params, opt_state, loss, _ = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
@@ -98,16 +98,64 @@ def main():
         last = float(loss)
     dt = time.perf_counter() - st
     assert np.isfinite(last), "non-finite training loss in bench"
+    return n_steps * batch * T_OUT / dt
 
-    fps = N_STEPS * BATCH * T_OUT / dt
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--agg", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--devices", type=int, default=1,
+                    help="data-parallel devices (global batch sharded)")
+    ap.add_argument("--full", action="store_true",
+                    help="sweep batches/backends, write BENCH_DETAIL.json")
+    ap.add_argument("--measure-baseline", action="store_true",
+                    help="re-measure the torch CPU reference in-run")
+    args = ap.parse_args()
+
+    baseline = BASELINE_FPS
+    if args.measure_baseline:
+        sys.path.insert(0, ".")
+        from baselines.torch_reference import measure as torch_measure
+
+        from quadtree_mpnnlstm_tpu.data import ModMovingMNISTDataset
+
+        ds = ModMovingMNISTDataset(
+            4, input_timesteps=T_IN, output_timesteps=T_OUT,
+            canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
+            velocity_noise=0.0, seed=0,
+        )
+        baseline = torch_measure(ds.x, ds.y)
+        print(f"torch CPU baseline re-measured: {baseline:.4f} f/s",
+              file=sys.stderr)
+
+    detail = {}
+    if args.full:
+        for agg in ("xla", "pallas"):
+            for batch in (8, 16, 32):
+                fps = measure(batch, agg, args.steps)
+                detail[f"{agg}_b{batch}"] = round(fps, 2)
+                print(f"[full] agg={agg} batch={batch}: {fps:.1f} f/s",
+                      file=sys.stderr)
+        best_key = max(detail, key=detail.get)
+        fps = detail[best_key]
+        detail["baseline_fps"] = baseline
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+    else:
+        fps = measure(args.batch, args.agg, args.steps,
+                      devices=args.devices)
+
     print(
         json.dumps(
             {
                 "metric": "frames/sec/chip, Moving-MNIST 64x64 seq2seq "
-                "training (quadtree thresh=0.1, remesh/step, ChebConv)",
+                "training (quadtree thresh=0.1, remesh/step, ChebConv, "
+                f"agg={args.agg if not args.full else best_key})",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
+                "vs_baseline": round(fps / baseline, 2),
             }
         )
     )

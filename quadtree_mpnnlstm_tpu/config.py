@@ -76,9 +76,12 @@ class GraphConfig:
     # (the CSR gather-expansion path is selected by max_degree > 0, as
     # before). Replaces the round-1 QTM_PALLAS env toggle.
     aggregation: str = "xla"
-    agg_nt: int = 128    # node-tile rows per kernel step
-    agg_eb: int = 1024   # edge-window slots per tile
-    agg_sw: int = 1024   # source-window rows per tile
+    # Window defaults sized from the 64×64 Moving-MNIST mesh (max measured
+    # edge range 596 / src span 348 per 128-node tile); overflow is counted
+    # per graph, so undersized windows surface via GraphTensors.overflow.
+    agg_nt: int = 128   # node-tile rows per kernel step
+    agg_eb: int = 1024  # edge-window slots per tile
+    agg_sw: int = 512   # source-window rows per tile
     # dtype of aggregation message payloads; "bfloat16" halves the SpMM's
     # HBM traffic at ~0.4% rounding (replaces the QTM_BF16_MSG env toggle)
     message_dtype: str = "float32"

@@ -101,14 +101,20 @@ def _assemble(
         + jnp.maximum(n_edges_raw - cfg.e_max, 0).astype(jnp.int32)
     )
     if cfg.aggregation == "pallas":
-        from quadtree_mpnnlstm_tpu.ops.pallas_spmm import spmm_tile_meta
+        from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
+            spmm_build_blocks,
+            spmm_tile_meta,
+        )
 
-        meta, window_overflow = spmm_tile_meta(
-            edge_src, edge_dst, n_max, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw
+        windows, window_overflow = spmm_tile_meta(
+            edge_src, edge_dst, graph.sym_coeff, n_max,
+            cfg.agg_nt, cfg.agg_eb, cfg.agg_sw,
         )
         overflow = overflow + window_overflow
         graph = graph.replace(
-            agg_meta=meta,
+            agg_meta=spmm_build_blocks(
+                windows, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw
+            ),
             agg=("pallas", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
         )
     graph = graph.replace(overflow=overflow)

@@ -90,15 +90,12 @@ def a_mul(z: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
     by carrying the per-edge messages in bf16 (sums of ≤degree values,
     ~0.4% rounding; replaces the round-1 QTM_BF16_MSG env toggle).
     """
-    coeff = _sym_norm(graph)
     if graph.agg[0] == "pallas":
         from quadtree_mpnnlstm_tpu.ops.pallas_spmm import spmm_apply
 
-        _, nt, eb, sw = graph.agg
-        return spmm_apply(
-            z, coeff, graph.edge_src, graph.edge_dst, graph.agg_meta,
-            graph.n_max, nt, eb, sw,
-        )
+        _, nt, _eb, sw = graph.agg
+        return spmm_apply(z, graph.agg_meta, graph.n_max, nt, sw)
+    coeff = _sym_norm(graph)
     if graph.msg_dtype == "bfloat16":
         msg = (coeff[:, None] * gather_src(z, graph)).astype(jnp.bfloat16)
         return aggregate_to_dst(msg, graph).astype(z.dtype)

@@ -14,32 +14,37 @@ the builders' edge-list invariants instead:
     of a 128-node tile are one contiguous window of the edge list;
   * node ids are **raster-ordered quadtree anchors**, so the *sources* of a
     node tile are spatially local — a contiguous window of node rows covers
-    them;
-  * ``coeff`` is zero on sentinel lanes, so padded edges contribute nothing
-    and no masking is needed in the kernel.
+    them.
 
-Per node tile t the kernel runs two small MXU matmuls, entirely in VMEM:
+At mesh-build time (:func:`spmm_tile_meta`, cached on the graph) each node
+tile's edge window is packed dense: relative source ids, relative
+destination ids and coefficients, shape (T, EB). Packing rows avoids the
+TPU's (·, 1) lane-padding trap — an (E, 1) VMEM operand occupies E×128
+lanes — and lets the kernel run two small MXU matmuls per tile with no
+dynamic edge slicing:
 
-    msg  = onehot(src − src_lo[t])  @ z[src_lo[t] : src_lo[t]+SW]   # gather
-    out  = onehot(dst − t·NT)ᵀ @ (coeff ⊙ msg)                      # scatter
+    oh_srcᵀ (SW, EB) = (iota_SW == src_rel)          # built in VMEM
+    msg     (EB, F)  = oh_srcᵀ ᵀ· z[s0 : s0+SW]      # gather as matmul
+    oh_dstᵀ (NT, EB) = (iota_NT == dst_rel) ⊙ coeff  # scatter + scale
+    out     (NT, F)  = oh_dstᵀ · msg
 
-Window metadata (edge-window start, source-window start per tile) is a pure
-function of the graph, computed once per mesh build (`spmm_tile_meta`) and
-cached on ``GraphTensors.agg_meta``; window overflow (a tile with more than
-``EB`` edges or a source span wider than ``SW``) is *counted* there and
-surfaced through the builder's overflow diagnostics rather than silently
-ignored.
+Both one-hots are built *transposed* so only row-vector broadcasts are
+needed (no in-kernel transposes/reshapes). Window overflow (a tile with
+more than EB edges, or a source span wider than SW) is *counted* by the
+meta builder and surfaced through ``GraphTensors.overflow`` rather than
+silently ignored.
 
 Because distance edge-weights are symmetric and both edge directions are
-materialised, ``Â`` is symmetric — the VJP of ``z ↦ Âz`` is the same kernel
-applied to the cotangent (coeff is data-independent: node positions come
-from constant positional-encoding channels, ref graph_functions.py:657).
+materialised, ``Â`` is symmetric — the VJP of ``z ↦ Âz`` is the same
+kernel applied to the cotangent (Â is data-independent: node positions
+come from constant positional-encoding channels, ref
+graph_functions.py:657).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,25 +56,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+class SpmmWindows(NamedTuple):
+    """Per-node-tile packed edge windows (pytree; cached on GraphTensors)."""
+
+    s0: jnp.ndarray       # (T, 1) int32 — source-window start (8-aligned)
+    src_rel: jnp.ndarray  # (T, EB) int32 — src − s0[t]; −1 = no edge
+    dst_rel: jnp.ndarray  # (T, EB) int32 — dst − t·NT; −1 = no edge
+    coeff: jnp.ndarray    # (T, EB) f32 — Â coefficient per window slot
+
+
 # ---------------------------------------------------------------- metadata
 
 
 def spmm_tile_meta(
     edge_src: jnp.ndarray,
     edge_dst: jnp.ndarray,
+    coeff: jnp.ndarray,
     n_max: int,
     nt: int,
     eb: int,
     sw: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-node-tile windows for the fused SpMM kernel.
+) -> Tuple[SpmmWindows, jnp.ndarray]:
+    """Pack per-tile edge windows for the fused SpMM kernel.
 
-    Returns:
-      meta: (T, 2) int32 — [edge-window start (8-aligned), source-window
-        start (8-aligned)] per tile of ``nt`` nodes.
-      overflow: () int32 — number of (tile, edge) assignments falling
-        outside the (eb, sw) windows; nonzero means results drop edges and
-        the caps must be raised (see GraphConfig.agg_*).
+    Returns (windows, overflow): ``overflow`` counts (tile, edge)
+    assignments that fell outside the (eb, sw) windows — nonzero means the
+    kernel would drop edges and the caps must be raised (GraphConfig.agg_*).
     """
     e = edge_dst.shape[0]
     np_ = _round_up(n_max, nt)
@@ -77,13 +89,19 @@ def spmm_tile_meta(
     bases = jnp.arange(t + 1, dtype=jnp.int32) * nt
     bounds = jnp.searchsorted(edge_dst, bases).astype(jnp.int32)
     starts, ends = bounds[:-1], bounds[1:]
-    e0 = jnp.clip(starts & ~7, 0, max(e - eb, 0))
+    e0 = jnp.clip(starts, 0, max(e - 1, 0))
 
-    # Source windows: min valid src per tile, scanned over the edge window.
     idx = jnp.minimum(e0[:, None] + jnp.arange(eb, dtype=jnp.int32), e - 1)
-    src_w = jnp.take(edge_src, idx.reshape(-1)).reshape(t, eb)
-    dst_w = jnp.take(edge_dst, idx.reshape(-1)).reshape(t, eb)
-    in_tile = (dst_w >= bases[:-1, None]) & (dst_w < bases[1:, None])
+    flat = idx.reshape(-1)
+    src_w = jnp.take(edge_src, flat).reshape(t, eb).astype(jnp.int32)
+    dst_w = jnp.take(edge_dst, flat).reshape(t, eb).astype(jnp.int32)
+    cf_w = jnp.take(coeff, flat).reshape(t, eb)
+
+    in_tile = (
+        (dst_w >= bases[:-1, None])
+        & (dst_w < bases[1:, None])
+        & (idx < ends[:, None])
+    )
     real = in_tile & (src_w < n_max)
     big = jnp.int32(2**30)
     src_min = jnp.min(jnp.where(real, src_w, big), axis=1)
@@ -92,43 +110,100 @@ def spmm_tile_meta(
         jnp.where(src_min == big, 0, src_min) & ~7, 0, max(np_ - sw, 0)
     )
 
+    src_rel = jnp.where(real, src_w - s0[:, None], -1)
+    dst_rel = jnp.where(in_tile, dst_w - bases[:-1, None], -1)
+    cf_w = jnp.where(in_tile, cf_w, 0.0)
+
     edge_overflow = jnp.sum(jnp.maximum(ends - e0 - eb, 0))
-    src_overflow = jnp.sum(jnp.maximum(src_max + 1 - (s0 + sw), 0))
-    meta = jnp.stack([e0, s0], axis=1)
-    return meta, (edge_overflow + src_overflow).astype(jnp.int32)
+    src_overflow = jnp.sum(
+        jnp.maximum(src_max + 1 - (s0 + sw), 0) * (src_max >= 0)
+    )
+    windows = SpmmWindows(
+        s0=s0[:, None], src_rel=src_rel, dst_rel=dst_rel, coeff=cf_w
+    )
+    return windows, (edge_overflow + src_overflow).astype(jnp.int32)
 
 
-# ------------------------------------------------------------------ kernel
+# ----------------------------------------------------- kernel A: build Â blocks
 
 
-def _make_kernel(eb: int, sw: int):
-    """Kernel body closed over the static window sizes (eb, sw)."""
-    def kernel(meta_ref, src_ref, dst_ref, coeff_ref, z_ref, out_ref):
-        nt = out_ref.shape[0]
+class SpmmBlocks(NamedTuple):
+    """Dense per-tile Â blocks (pytree; cached on GraphTensors.agg_meta).
+
+    ``blocks[t]`` is the (NT, SW) dense slice of Â rows [t·NT, (t+1)·NT)
+    restricted to source columns [s0[t], s0[t]+SW). Built ONCE per mesh
+    (kernel A) and reused by every ``a_mul`` of that mesh (~20 per decoder
+    step across gates, Chebyshev taps and head convs) — the one-hot
+    expansion cost is paid per *remesh*, not per conv.
+    """
+
+    s0: jnp.ndarray      # (T, 1) int32 — source-window start (8-aligned)
+    blocks: jnp.ndarray  # (T, NT, SW) f32
+
+
+def _build_kernel(nt: int, sw: int):
+    def kernel(src_ref, dst_ref, cf_ref, out_ref):
+        eb = src_ref.shape[-1]
         t = pl.program_id(0)
-        e0 = meta_ref[t, 0]
-        s0 = meta_ref[t, 1]
+        src = src_ref[pl.ds(t, 1), :]   # (1, EB) src − s0[t]; −1 = dead lane
+        dst = dst_ref[pl.ds(t, 1), :]   # (1, EB) dst − t·NT
+        cf = cf_ref[pl.ds(t, 1), :]     # (1, EB)
 
-        src = src_ref[pl.ds(e0, eb), 0]
-        dst = dst_ref[pl.ds(e0, eb), 0]
-        cf = coeff_ref[pl.ds(e0, eb), 0]
-        zwin = z_ref[pl.ds(s0, sw), :]
-
-        cols_s = jax.lax.broadcasted_iota(jnp.int32, (eb, sw), 1)
-        oh_src = (src[:, None] - s0 == cols_s).astype(zwin.dtype)
-        msg = jax.lax.dot_general(
-            oh_src, zwin,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (nt, eb), 0)
+        oh_dst_w = jnp.where(rows_d == dst, cf, 0.0)          # (NT, EB)
+        rows_s = jax.lax.broadcasted_iota(jnp.int32, (sw, eb), 0)
+        oh_src_t = (rows_s == src).astype(jnp.float32)        # (SW, EB)
+        out_ref[0] = jax.lax.dot_general(
+            oh_dst_w, oh_src_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),       # (NT, SW)
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        msg = msg * cf[:, None]
 
-        cols_d = jax.lax.broadcasted_iota(jnp.int32, (eb, nt), 1)
-        oh_dst = (dst[:, None] - t * nt == cols_d).astype(msg.dtype)
-        out_ref[:] = jax.lax.dot_general(
-            oh_dst, msg,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+    return kernel
+
+
+def spmm_build_blocks(
+    windows: SpmmWindows, nt: int, eb: int, sw: int
+) -> SpmmBlocks:
+    """Kernel A: densify each tile's edge window into an (NT, SW) Â block
+    (one-hots live only in VMEM; entries are exact coeff sums).
+
+    Â is non-differentiable by design — the reference detaches predictions
+    before remeshing (ref seq2seq.py:440 ``.detach()``) and node positions
+    are positional-encoding constants — so inputs are stop-gradiented here
+    (the kernel has no JVP rule; spmm_apply's custom_vjp handles d/dz).
+    """
+    windows = jax.lax.stop_gradient(windows)
+    t = windows.src_rel.shape[0]
+    blocks = pl.pallas_call(
+        _build_kernel(nt, sw),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((t, eb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, eb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, eb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, nt, sw), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(windows.src_rel, windows.dst_rel, windows.coeff)
+    return SpmmBlocks(s0=windows.s0, blocks=blocks)
+
+
+# ----------------------------------------------------- kernel B: apply Â·z
+
+
+def _apply_kernel(sw: int):
+    def kernel(s0_ref, m_ref, z_ref, out_ref):
+        t = pl.program_id(0)
+        s0 = s0_ref[t, 0]
+        zwin = z_ref[pl.ds(s0, sw), :]          # (SW, F)
+        out_ref[:] = jnp.dot(
+            m_ref[0], zwin,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(out_ref.dtype)
@@ -136,71 +211,56 @@ def _make_kernel(eb: int, sw: int):
     return kernel
 
 
-def _spmm_impl(z, coeff, edge_src, edge_dst, meta, n_max, nt, eb, sw):
-    np_ = _round_up(n_max, nt)
-    e = edge_src.shape[0]
-    ep = max(_round_up(e, 8), eb)
+def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
+    t = meta.blocks.shape[0]
+    np_ = t * nt
     f = z.shape[-1]
     fp = _round_up(f, 128)
+    zrows = max(np_, sw)
+    z_p = jnp.zeros((zrows, fp), z.dtype).at[:n_max, :f].set(z[:n_max])
 
-    z_p = jnp.zeros((max(np_, sw), fp), z.dtype).at[:n_max, :f].set(z[:n_max])
-    pad_ids = jnp.full((ep, 1), np_ + 1, jnp.int32)
-    src_p = pad_ids.at[:e, 0].set(edge_src.astype(jnp.int32))
-    dst_p = pad_ids.at[:e, 0].set(edge_dst.astype(jnp.int32))
-    cf_p = jnp.zeros((ep, 1), z.dtype).at[:e, 0].set(coeff.astype(z.dtype))
-
-    t = np_ // nt
     out = pl.pallas_call(
-        _make_kernel(eb, sw),
+        _apply_kernel(sw),
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (T, 2)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # src ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dst ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # coeff
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # z (resident)
+            pl.BlockSpec((t, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),             # s0
+            pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # Â block
+            pl.BlockSpec((zrows, fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # z (resident)
         ],
         out_specs=pl.BlockSpec((nt, fp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, fp), z.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(meta, src_p, dst_p, cf_p, z_p)
+    )(meta.s0, meta.blocks.astype(z.dtype), z_p)
     return out[:n_max, :f]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def spmm_apply(
     z: jnp.ndarray,
-    coeff: jnp.ndarray,
-    edge_src: jnp.ndarray,
-    edge_dst: jnp.ndarray,
-    meta: jnp.ndarray,
+    meta: SpmmBlocks,
     n_max: int,
     nt: int,
-    eb: int,
     sw: int,
 ) -> jnp.ndarray:
     """``out[n] = Σ_{e : dst_e = n} coeff_e · z[src_e]`` — i.e. ``Â z``.
 
-    Requires the builder invariants: ``edge_dst`` sorted ascending with
-    sentinel padding, ``coeff`` zero on invalid lanes, ``meta`` from
-    :func:`spmm_tile_meta` with the same (nt, eb, sw). Differentiable in
-    ``z`` only (Â is constant w.r.t. model inputs: node positions are
-    positional-encoding constants).
+    ``meta`` must come from :func:`spmm_build_blocks` with the same
+    (nt, sw). Differentiable in ``z`` only (Â is constant w.r.t. model
+    inputs — see module docstring on symmetry).
     """
-    return _spmm_impl(z, coeff, edge_src, edge_dst, meta, n_max, nt, eb, sw)
+    return _spmm_impl(z, meta, n_max, nt, sw)
 
 
-def _spmm_fwd(z, coeff, edge_src, edge_dst, meta, n_max, nt, eb, sw):
-    out = _spmm_impl(z, coeff, edge_src, edge_dst, meta, n_max, nt, eb, sw)
-    return out, (coeff, edge_src, edge_dst, meta)
+def _spmm_fwd(z, meta, n_max, nt, sw):
+    return _spmm_impl(z, meta, n_max, nt, sw), meta
 
 
-def _spmm_bwd(n_max, nt, eb, sw, res, g):
-    coeff, edge_src, edge_dst, meta = res
-    # Â is symmetric (both edge directions present, symmetric weights):
-    # d z = Âᵀ g = Â g — the same kernel on the cotangent.
-    dz = _spmm_impl(g, coeff, edge_src, edge_dst, meta, n_max, nt, eb, sw)
-    return (dz, None, None, None, None)
+def _spmm_bwd(n_max, nt, sw, meta, g):
+    # Â is symmetric → d z = Âᵀ g = Â g: the same kernel on the cotangent.
+    return (_spmm_impl(g, meta, n_max, nt, sw), None)
 
 
 spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)

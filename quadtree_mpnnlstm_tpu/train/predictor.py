@@ -109,6 +109,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         seed: int = 21,
         model_kwargs: Optional[Dict[str, Any]] = None,
         graph_kwargs: Optional[Dict[str, Any]] = None,
+        dp_devices: int = 1,
     ):
         super().__init__(
             thresh=thresh,
@@ -168,6 +169,16 @@ class NextFramePredictorS2S(NextFramePredictor):
             **common,
         )
         self.eval_model = Seq2Seq(deterministic=True, **common)
+
+        # Data-parallel training over the first ``dp_devices`` devices
+        # (gradient pmean over ICI; new capability vs the reference's
+        # single-device batch-1 loop, SURVEY.md §2.7). 1 = single device.
+        self.dp_devices = int(dp_devices)
+        assert self.dp_devices >= 1
+        if self.dp_devices > 1:
+            assert self.dp_devices <= jax.device_count(), (
+                f"dp_devices={dp_devices} > available {jax.device_count()}"
+            )
 
         self.rng = jax.random.PRNGKey(seed)
         self.params = None
@@ -287,21 +298,58 @@ class NextFramePredictorS2S(NextFramePredictor):
             return total
 
         debug = self.debug
+        dp = self.dp_devices
+
+        if dp > 1:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            from quadtree_mpnnlstm_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp)
+
+            def device_fn(params, x, y, clim, keys, mask, hir, gs):
+                def local_loss(params):
+                    losses = jax.vmap(
+                        lambda xb, yb, cb, kb: sample_loss(
+                            params, xb, yb, cb, mask, hir, gs, kb
+                        )
+                    )(x, y, clim, keys)
+                    return jnp.mean(losses)
+
+                loss, grads = jax.value_and_grad(local_loss)(params)
+                # Equal shard sizes ⇒ pmean of shard means = global mean.
+                return (
+                    jax.lax.pmean(loss, "data"),
+                    jax.lax.pmean(grads, "data"),
+                )
+
+            sharded = shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                          P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
 
         def train_step(params, opt_state, x, y, clim, mask, hir, gs, rng):
             keys = jax.random.split(rng, x.shape[0] * 2).reshape(
                 x.shape[0], 2, 2
             )
 
-            def batch_loss(params):
-                losses = jax.vmap(
-                    lambda xb, yb, cb, kb: sample_loss(
-                        params, xb, yb, cb, mask, hir, gs, kb
-                    )
-                )(x, y, clim, keys)
-                return jnp.mean(losses)
+            if dp > 1:
+                loss, grads = sharded(params, x, y, clim, keys, mask, hir, gs)
+            else:
+                def batch_loss(params):
+                    losses = jax.vmap(
+                        lambda xb, yb, cb, kb: sample_loss(
+                            params, xb, yb, cb, mask, hir, gs, kb
+                        )
+                    )(x, y, clim, keys)
+                    return jnp.mean(losses)
 
-            loss, grads = jax.value_and_grad(batch_loss)(params)
+                loss, grads = jax.value_and_grad(batch_loss)(params)
             if debug:
                 # encoder/decoder gradient norms (ref mpnnlstm.py:272-276)
                 def tree_norm(t):
@@ -405,6 +453,11 @@ class NextFramePredictorS2S(NextFramePredictor):
             self._set_lr()
             running, steps = 0.0, 0
             for x, y, launch in loader_train:
+                if self.dp_devices > 1 and x.shape[0] % self.dp_devices:
+                    raise ValueError(
+                        f"global batch {x.shape[0]} not divisible by "
+                        f"dp_devices={self.dp_devices} (use drop_last=True)"
+                    )
                 clim = self._clim_batch(climatology, launch)
                 self.rng, key = jax.random.split(self.rng)
                 self.params, self.opt_state, loss, aux = train_step(

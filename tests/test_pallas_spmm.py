@@ -16,6 +16,7 @@ from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
 from quadtree_mpnnlstm_tpu.models.conv import ChebConv, a_mul
 from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
     spmm_apply,
+    spmm_build_blocks,
     spmm_reference,
     spmm_tile_meta,
 )
@@ -37,22 +38,20 @@ def _graph(shape=(32, 32), thresh=0.3, n_max=1024, e_max=8192, **kw):
 
 def test_spmm_matches_oracle_fwd_and_grad():
     cfg, graph, _ = _graph()
-    meta, ovf = spmm_tile_meta(
-        graph.edge_src, graph.edge_dst, cfg.n_max, NT, EB, SW
+    windows, ovf = spmm_tile_meta(
+        graph.edge_src, graph.edge_dst, graph.sym_coeff, cfg.n_max, NT, EB, SW
     )
     assert int(ovf) == 0
+    meta = spmm_build_blocks(windows, NT, EB, SW)
     rng = np.random.default_rng(1)
     z = jnp.asarray(rng.standard_normal((cfg.n_max, 20)).astype(np.float32))
 
     ref = spmm_reference(z, graph.sym_coeff, graph.edge_src, graph.edge_dst,
                          cfg.n_max)
-    out = spmm_apply(z, graph.sym_coeff, graph.edge_src, graph.edge_dst,
-                     meta, cfg.n_max, NT, EB, SW)
+    out = spmm_apply(z, meta, cfg.n_max, NT, SW)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
-    f_k = lambda z: jnp.sum(jnp.sin(spmm_apply(
-        z, graph.sym_coeff, graph.edge_src, graph.edge_dst, meta,
-        cfg.n_max, NT, EB, SW)))
+    f_k = lambda z: jnp.sum(jnp.sin(spmm_apply(z, meta, cfg.n_max, NT, SW)))
     f_r = lambda z: jnp.sum(jnp.sin(spmm_reference(
         z, graph.sym_coeff, graph.edge_src, graph.edge_dst, cfg.n_max)))
     np.testing.assert_allclose(
@@ -69,9 +68,11 @@ def test_spmm_under_vmap_per_sample_graphs():
 
     def per(x, z):
         g, _ = image_to_graph(add_positional_encoding(x), cfg)
-        m, _ = spmm_tile_meta(g.edge_src, g.edge_dst, cfg.n_max, NT, EB, SW)
-        out = spmm_apply(z, g.sym_coeff, g.edge_src, g.edge_dst, m,
-                         cfg.n_max, NT, EB, SW)
+        w, _ = spmm_tile_meta(
+            g.edge_src, g.edge_dst, g.sym_coeff, cfg.n_max, NT, EB, SW
+        )
+        m = spmm_build_blocks(w, NT, EB, SW)
+        out = spmm_apply(z, m, cfg.n_max, NT, SW)
         ref = spmm_reference(z, g.sym_coeff, g.edge_src, g.edge_dst, cfg.n_max)
         return out, ref
 
