@@ -78,6 +78,43 @@ def experiment_config(exp: int):
     return cfg
 
 
+def synthetic_hir(shape):
+    """Synthetic shipping corridor: a diagonal band across the grid (stands
+    in for the ref's primary_route_mask.nc, ref ice_exp.py:122)."""
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    diag = yy / shape[0] - xx / shape[1]
+    return np.abs(diag) < 0.08
+
+
+def load_hir(path: str):
+    """Load the shipping-corridor high-interest region (ref ice_exp.py:122).
+
+    Returns a bool array (NaN → False, nonzero → True) or None with a
+    warning when the file / xarray is unavailable.
+    """
+    try:
+        import xarray as xr
+
+        band = xr.open_dataset(path)["band_data"].values
+        return np.nan_to_num(np.squeeze(band)) > 0
+    except (ImportError, FileNotFoundError, OSError, KeyError) as e:
+        print(f"high-interest region unavailable ({e}); training without it")
+        return None
+
+
+def save_mesh_png(model, x, hir, path):
+    """Render the quadtree mesh with the HIR active (thresh=+inf splits only
+    at mask/HIR boundaries, so corridor densification is visible)."""
+    out = model.test_threshold(
+        x, float("inf"), high_interest_region=hir, contours=True
+    )
+    fig = out[0]
+    if hasattr(fig, "savefig"):
+        fig.savefig(path, dpi=100)
+        return path
+    return None
+
+
 def load_real_dataset(data_glob: str):
     try:
         import glob
@@ -167,6 +204,16 @@ def main(argv=None):
     parser.add_argument("-e", "--exp", type=int, default=0)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--data-glob", default="data/hb_era5_glorys_nc/*.nc")
+    parser.add_argument(
+        "--hir-path",
+        default="data/shipping_corridors/primary_route_mask.nc",
+        help="shipping-corridor mask netCDF (ref ice_exp.py:122)",
+    )
+    parser.add_argument("--no-hir", action="store_true",
+                        help="train without the high-interest region")
+    parser.add_argument("--mesh-png", action="store_true",
+                        help="save a quadtree-mesh png showing HIR "
+                        "densification to the results dir")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--results-dir", default=None)
@@ -184,8 +231,10 @@ def main(argv=None):
 
     if args.synthetic:
         ds, mask = synthetic_dataset()
+        hir = None if args.no_hir else synthetic_hir(mask.shape)
     else:
         ds, mask = load_real_dataset(args.data_glob)
+        hir = None if args.no_hir else load_hir(args.hir_path)
     image_shape = mask.shape
 
     data_train = IceDataset(ds, training_years, month, input_timesteps,
@@ -285,6 +334,8 @@ def main(argv=None):
     else:
         epochs = args.epochs
 
+    # Full-res training uses the high-interest region (ref ice_exp.py:203);
+    # like the ref, the coarse multires phase trains without it.
     model.train(
         loader_train,
         loader_test,
@@ -292,12 +343,20 @@ def main(argv=None):
         lr=cfg["lr"],
         n_epochs=epochs,
         mask=mask,
+        high_interest_region=hir,
         truncated_backprop=cfg["truncated_backprop"],
         graph_structure=graph_structure,
     )
 
     results_dir = args.results_dir or f"ice_results_exp{exp}"
     os.makedirs(results_dir, exist_ok=True)
+    if args.mesh_png and hir is not None:
+        png = save_mesh_png(
+            model, data_train.x[0, :1, ..., :1], hir,
+            f"{results_dir}/mesh_hir_{experiment_name}.png",
+        )
+        if png:
+            print("mesh png:", png)
     with open(f"{results_dir}/loss_{experiment_name}.json", "w") as f:
         json.dump(model.loss, f)
     model.save(results_dir)

@@ -183,6 +183,19 @@ class ModelConfig:
     remesh_every: int = 1
     concat_layers_dim: int = 1
     fused_gates: bool = True  # shared-aggregation gate convs (models/fused.py)
+    # Mixed-precision compute: "bfloat16" runs all matmuls/aggregations and
+    # the graph pipeline in bf16 (params stay float32 masters — the trainer
+    # casts them at use; LayerNorm statistics and the loss stay float32).
+    # TPU MXU natively multiplies bf16 at 2× the f32 rate.
+    compute_dtype: str = "float32"
+
+    @property
+    def cdtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.compute_dtype
+        ]
 
     @property
     def node_input_features(self) -> int:
@@ -215,7 +228,10 @@ class TrainConfig:
     teacher_forcing_ratio: float = 0.0  # ref: mpnnlstm.py:237 (train uses 0)
     truncated_backprop: int = 0  # chunk size; 0 = full BPTT
     seed: int = 21  # ref: ice_exp.py:29-31
-    dtype: str = "float32"  # compute dtype for the model
+    # Model compute dtype; forwarded to ModelConfig.compute_dtype by the
+    # predictor when a TrainConfig is passed (NextFramePredictorS2S
+    # train_config=...). "bfloat16" = mixed precision (f32 masters).
+    dtype: str = "float32"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

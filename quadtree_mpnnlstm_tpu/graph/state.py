@@ -113,7 +113,9 @@ def flatten(img: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
         summed = jax.ops.segment_sum(
             flat, graph.pixel_node, num_segments=n_max + 1
         )[:n_max]
-    mean = summed / jnp.maximum(graph.counts, 1.0)[:, None]
+    # divide in the promoted dtype (counts are f32), return in img's dtype so
+    # a bfloat16 compute region is not silently upcast
+    mean = (summed / jnp.maximum(graph.counts, 1.0)[:, None]).astype(img.dtype)
     return mean.reshape(n_max, t, c).transpose(1, 0, 2)
 
 

@@ -23,7 +23,7 @@ vmapped conv with a leading gate axis (params stacked on axis 0).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,8 @@ from quadtree_mpnnlstm_tpu.models.fused import FUSABLE, FusedGateConvStack
 
 
 def gate_conv_module(
-    n_gates: int, convolution_type: str, out_channels: int, n_layers: int, name: str
+    n_gates: int, convolution_type: str, out_channels: int, n_layers: int,
+    name: str, dtype=None,
 ):
     return nn.vmap(
         GraphConv,
@@ -49,6 +50,7 @@ def gate_conv_module(
         convolution_type=convolution_type,
         out_channels=out_channels,
         n_layers=n_layers,
+        dtype=dtype,
         name=name,
     )
 
@@ -65,6 +67,7 @@ class GConvLSTM(nn.Module):
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
     fused: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -79,27 +82,31 @@ class GConvLSTM(nn.Module):
         if self.fused and self.convolution_type in FUSABLE:
             g = FusedGateConvStack(
                 self.convolution_type, d, self.n_conv_layers, 4,
-                name="gates",
+                dtype=self.dtype, name="gates",
             )(x, h, graph, deterministic)  # (4, N, d) — gates i, f, c, o
         else:
             conv_x = gate_conv_module(
-                4, self.convolution_type, d, self.n_conv_layers, "conv_x"
+                4, self.convolution_type, d, self.n_conv_layers, "conv_x",
+                dtype=self.dtype,
             )
             conv_h = gate_conv_module(
-                4, self.convolution_type, d, self.n_conv_layers, "conv_h"
+                4, self.convolution_type, d, self.n_conv_layers, "conv_h",
+                dtype=self.dtype,
             )
             g = conv_x(x, graph, deterministic) + conv_h(
                 h, graph, deterministic
             )
 
         zeros = nn.initializers.zeros
-        w_ci = self.param("w_c_i", zeros, (1, d))
-        w_cf = self.param("w_c_f", zeros, (1, d))
-        w_co = self.param("w_c_o", zeros, (1, d))
-        b_i = self.param("b_i", zeros, (1, d))
-        b_f = self.param("b_f", zeros, (1, d))
-        b_c = self.param("b_c", zeros, (1, d))
-        b_o = self.param("b_o", zeros, (1, d))
+        dt = g.dtype  # peepholes/biases join the gates' compute dtype
+        w_ci = self.param("w_c_i", zeros, (1, d)).astype(dt)
+        w_cf = self.param("w_c_f", zeros, (1, d)).astype(dt)
+        w_co = self.param("w_c_o", zeros, (1, d)).astype(dt)
+        b_i = self.param("b_i", zeros, (1, d)).astype(dt)
+        b_f = self.param("b_f", zeros, (1, d)).astype(dt)
+        b_c = self.param("b_c", zeros, (1, d)).astype(dt)
+        b_o = self.param("b_o", zeros, (1, d)).astype(dt)
+        c = c.astype(dt)
 
         i = nn.sigmoid(g[0] + w_ci * c + b_i)
         f = nn.sigmoid(g[1] + w_cf * c + b_f)
@@ -118,6 +125,7 @@ class GConvGRU(nn.Module):
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
     fused: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):
@@ -125,21 +133,23 @@ class GConvGRU(nn.Module):
         if self.fused and self.convolution_type in FUSABLE:
             zr = FusedGateConvStack(
                 self.convolution_type, d, self.n_conv_layers, 2,
-                name="gates_zr",
+                dtype=self.dtype, name="gates_zr",
             )(x, h, graph, deterministic)
             z = nn.sigmoid(zr[0])
             r = nn.sigmoid(zr[1])
             cand = FusedGateConvStack(
                 self.convolution_type, d, self.n_conv_layers, 1,
-                name="gate_candidate",
-            )(x, h * r, graph, deterministic)[0]
+                dtype=self.dtype, name="gate_candidate",
+            )(x, h * r.astype(h.dtype), graph, deterministic)[0]
             h_tilde = jnp.tanh(cand)
         else:
             gx = gate_conv_module(
-                3, self.convolution_type, d, self.n_conv_layers, "conv_x"
+                3, self.convolution_type, d, self.n_conv_layers, "conv_x",
+                dtype=self.dtype,
             )(x, graph, deterministic)  # gates z, r, candidate
             gh = gate_conv_module(
-                2, self.convolution_type, d, self.n_conv_layers, "conv_h"
+                2, self.convolution_type, d, self.n_conv_layers, "conv_h",
+                dtype=self.dtype,
             )(h, graph, deterministic)  # gates z, r
             z = nn.sigmoid(gx[0] + gh[0])
             r = nn.sigmoid(gx[1] + gh[1])
@@ -147,10 +157,12 @@ class GConvGRU(nn.Module):
                 convolution_type=self.convolution_type,
                 out_channels=d,
                 n_layers=self.n_conv_layers,
+                dtype=self.dtype,
                 name="conv_h_candidate",
-            )(h * r, graph, deterministic=deterministic)
+            )(h * r.astype(h.dtype), graph, deterministic=deterministic)
             h_tilde = jnp.tanh(gx[2] + h_cand)
-        h_new = z * h + (1.0 - z) * h_tilde
+        z = z.astype(h_tilde.dtype)
+        h_new = z * h.astype(h_tilde.dtype) + (1.0 - z) * h_tilde
         return h_new, h_new, c
 
 
@@ -162,6 +174,7 @@ class GConvLSTMSimple(nn.Module):
     out_channels: int
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):
@@ -170,22 +183,26 @@ class GConvLSTMSimple(nn.Module):
             convolution_type=self.convolution_type,
             out_channels=d,
             n_layers=self.n_conv_layers,
+            dtype=self.dtype,
             name="conv_x",
         )(x, graph, deterministic=deterministic)
         gh = GraphConv(
             convolution_type=self.convolution_type,
             out_channels=d,
             n_layers=self.n_conv_layers,
+            dtype=self.dtype,
             name="conv_h",
         )(h, graph, deterministic=deterministic)
         g = gx + gh
 
         zeros = nn.initializers.zeros
-        i = nn.sigmoid(g + self.param("b_i", zeros, (1, d)))
-        f = nn.sigmoid(g + self.param("b_f", zeros, (1, d)))
-        t = jnp.tanh(g + self.param("b_c", zeros, (1, d)))
+        dt = g.dtype
+        c = c.astype(dt)
+        i = nn.sigmoid(g + self.param("b_i", zeros, (1, d)).astype(dt))
+        f = nn.sigmoid(g + self.param("b_f", zeros, (1, d)).astype(dt))
+        t = jnp.tanh(g + self.param("b_c", zeros, (1, d)).astype(dt))
         c_new = f * c + i * t
-        o = nn.sigmoid(g + self.param("b_o", zeros, (1, d)))
+        o = nn.sigmoid(g + self.param("b_o", zeros, (1, d)).astype(dt))
         h_new = o * jnp.tanh(c_new)
         return o, h_new, c_new
 
@@ -199,6 +216,7 @@ class SplitGConvLSTM(nn.Module):
     out_channels: int
     n_conv_layers: int = 1
     convolution_type: str = "GCNConv"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):
@@ -207,6 +225,7 @@ class SplitGConvLSTM(nn.Module):
             convolution_type=self.convolution_type,
             out_channels=d,
             n_layers=self.n_conv_layers,
+            dtype=self.dtype,
             name="conv",
         )(x, graph, deterministic=deterministic)
 
@@ -216,7 +235,7 @@ class SplitGConvLSTM(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-        )(features=d, name="lstm")
+        )(features=d, dtype=self.dtype, name="lstm")
         # flax LSTM carry is (c, h); scan over the node axis, unbatched.
         (c_fin, h_fin), outputs = lstm((c[0], h[0]), xc)
         n = xc.shape[0]
@@ -231,6 +250,7 @@ class DummyLSTM(nn.Module):
     out_channels: int = 0
     n_conv_layers: int = 0
     convolution_type: str = "Dummy"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):

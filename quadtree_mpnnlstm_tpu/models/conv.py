@@ -21,7 +21,7 @@ Semantics notes (mirroring the reference's conv kwargs, model.py:49-57):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +43,13 @@ from quadtree_mpnnlstm_tpu.ops.segment import (
 _glorot = nn.initializers.glorot_uniform()
 
 
-def _dense(features: int, use_bias: bool = True, name: Optional[str] = None):
+def _dense(features: int, use_bias: bool = True, name: Optional[str] = None,
+           dtype=None):
+    # ``dtype`` is the flax compute dtype: params stay float32 masters and
+    # are cast at use, so bf16 mode needs no separate param tree.
     return nn.Dense(
-        features, use_bias=use_bias, kernel_init=_glorot, name=name
+        features, use_bias=use_bias, kernel_init=_glorot, name=name,
+        dtype=dtype,
     )
 
 
@@ -95,7 +99,7 @@ def a_mul(z: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
 
         _, nt, _eb, sw = graph.agg
         return spmm_apply(z, graph.agg_meta, graph.n_max, nt, sw)
-    coeff = _sym_norm(graph)
+    coeff = _sym_norm(graph).astype(z.dtype)  # stay in the compute dtype
     if graph.msg_dtype == "bfloat16":
         msg = (coeff[:, None] * gather_src(z, graph)).astype(jnp.bfloat16)
         return aggregate_to_dst(msg, graph).astype(z.dtype)
@@ -107,15 +111,17 @@ class GCNConv(nn.Module):
 
     out_channels: int
     use_bias: bool = True
+    dtype: Any = None  # flax compute dtype (None = follow inputs)
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
-        h = _dense(self.out_channels, use_bias=False, name="lin")(x)
+        h = _dense(self.out_channels, use_bias=False, name="lin",
+                   dtype=self.dtype)(x)
         out = a_mul(h, graph)
         if self.use_bias:
             out = out + self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,)
-            )
+            ).astype(out.dtype)
         return out
 
 
@@ -126,9 +132,12 @@ class ChebConv(nn.Module):
     K: int = 3
     lambda_max: float = 2.0
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         scale = 2.0 / self.lambda_max
 
         def l_hat(z):
@@ -136,19 +145,22 @@ class ChebConv(nn.Module):
             return scale * (z - a_mul(z, graph)) - z
 
         tx_prev = x
-        out = _dense(self.out_channels, use_bias=False, name="lin_0")(tx_prev)
+        out = _dense(self.out_channels, use_bias=False, name="lin_0",
+                     dtype=self.dtype)(tx_prev)
         if self.K > 1:
             tx = l_hat(x)
-            out = out + _dense(self.out_channels, use_bias=False, name="lin_1")(tx)
+            out = out + _dense(self.out_channels, use_bias=False,
+                               name="lin_1", dtype=self.dtype)(tx)
             for k in range(2, self.K):
                 tx, tx_prev = 2.0 * l_hat(tx) - tx_prev, tx
                 out = out + _dense(
-                    self.out_channels, use_bias=False, name=f"lin_{k}"
+                    self.out_channels, use_bias=False, name=f"lin_{k}",
+                    dtype=self.dtype,
                 )(tx)
         if self.use_bias:
             out = out + self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,)
-            )
+            ).astype(out.dtype)
         return out
 
 
@@ -162,20 +174,24 @@ class TransformerConv(nn.Module):
     edge_dim: Optional[int] = None
     root_weight: bool = True
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         h, d = self.heads, self.out_channels
         n = graph.n_max
-        q = _dense(h * d, name="lin_query")(x).reshape(n, h, d)
-        k = _dense(h * d, name="lin_key")(x).reshape(n, h, d)
-        v = _dense(h * d, name="lin_value")(x).reshape(n, h, d)
+        q = _dense(h * d, name="lin_query", dtype=self.dtype)(x).reshape(n, h, d)
+        k = _dense(h * d, name="lin_key", dtype=self.dtype)(x).reshape(n, h, d)
+        v = _dense(h * d, name="lin_value", dtype=self.dtype)(x).reshape(n, h, d)
 
         kj = gather_src(k, graph)
         vj = gather_src(v, graph)
         if self.edge_dim is not None:
-            e = _dense(h * d, use_bias=False, name="lin_edge")(
-                graph.edge_attr
+            e = _dense(h * d, use_bias=False, name="lin_edge",
+                       dtype=self.dtype)(
+                graph.edge_attr.astype(x.dtype)
             ).reshape(-1, h, d)
             kj = kj + e
             vj = vj + e
@@ -184,13 +200,18 @@ class TransformerConv(nn.Module):
             jnp.asarray(d, x.dtype)
         )
         alpha = edge_softmax_graph(logits, graph)
+        # Debug side channel (ref model.py:79-93 dumps an attention map when
+        # return_attention_weights is set): collect per-edge α via flax sow;
+        # materialised only when apply() runs with mutable=["intermediates"].
+        self.sow("intermediates", "alpha", alpha)
         alpha = nn.Dropout(rate=self.dropout)(alpha, deterministic=deterministic)
 
         out = aggregate_to_dst(alpha[..., None] * vj, graph)
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.root_weight:
             skip_dim = h * d if self.concat else d
-            out = out + _dense(skip_dim, use_bias=self.use_bias, name="lin_skip")(x)
+            out = out + _dense(skip_dim, use_bias=self.use_bias,
+                               name="lin_skip", dtype=self.dtype)(x)
         return out
 
 
@@ -202,6 +223,7 @@ class MHTransformerConv(nn.Module):
     heads: int = 3
     dropout: float = 0.0
     edge_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
@@ -211,9 +233,10 @@ class MHTransformerConv(nn.Module):
             concat=True,
             dropout=self.dropout,
             edge_dim=self.edge_dim,
+            dtype=self.dtype,
             name="conv",
         )(x, graph, deterministic=deterministic)
-        return _dense(self.out_channels, name="lin")(out)
+        return _dense(self.out_channels, name="lin", dtype=self.dtype)(out)
 
 
 def _with_self_loops(graph: GraphTensors):
@@ -247,9 +270,12 @@ class _GATBase(nn.Module):
     add_self_loops: bool = True
     use_bias: bool = True
     v2: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         h, d = self.heads, self.out_channels
         n = graph.n_max
         if self.add_self_loops:
@@ -261,32 +287,36 @@ class _GATBase(nn.Module):
                 graph.edge_valid,
                 graph.edge_attr,
             )
+        attr = attr.astype(x.dtype)  # stay in the compute dtype
 
         if self.v2:
-            xl = _dense(h * d, use_bias=self.use_bias, name="lin_l")(x).reshape(n, h, d)
-            xr = _dense(h * d, use_bias=self.use_bias, name="lin_r")(x).reshape(n, h, d)
+            xl = _dense(h * d, use_bias=self.use_bias, name="lin_l",
+                        dtype=self.dtype)(x).reshape(n, h, d)
+            xr = _dense(h * d, use_bias=self.use_bias, name="lin_r",
+                        dtype=self.dtype)(x).reshape(n, h, d)
             feat = gather_rows(xl, src) + gather_rows(xr, dst)
             if self.edge_dim is not None:
-                e = _dense(h * d, use_bias=False, name="lin_edge")(attr).reshape(
-                    -1, h, d
-                )
+                e = _dense(h * d, use_bias=False, name="lin_edge",
+                           dtype=self.dtype)(attr).reshape(-1, h, d)
                 feat = feat + e
-            att = self.param("att", _glorot, (1, h, d))
+            att = self.param("att", _glorot, (1, h, d)).astype(feat.dtype)
             logits = jnp.sum(
                 att * nn.leaky_relu(feat, self.negative_slope), axis=-1
             )
             src_feat = xl
         else:
-            xw = _dense(h * d, use_bias=False, name="lin")(x).reshape(n, h, d)
-            att_src = self.param("att_src", _glorot, (1, h, d))
-            att_dst = self.param("att_dst", _glorot, (1, h, d))
+            xw = _dense(h * d, use_bias=False, name="lin",
+                        dtype=self.dtype)(x).reshape(n, h, d)
+            att_src = self.param("att_src", _glorot, (1, h, d)).astype(xw.dtype)
+            att_dst = self.param("att_dst", _glorot, (1, h, d)).astype(xw.dtype)
             a = (gather_rows(jnp.sum(xw * att_src, -1), src)
                  + gather_rows(jnp.sum(xw * att_dst, -1), dst))
             if self.edge_dim is not None:
-                e = _dense(h * d, use_bias=False, name="lin_edge")(attr).reshape(
-                    -1, h, d
-                )
-                att_edge = self.param("att_edge", _glorot, (1, h, d))
+                e = _dense(h * d, use_bias=False, name="lin_edge",
+                           dtype=self.dtype)(attr).reshape(-1, h, d)
+                att_edge = self.param(
+                    "att_edge", _glorot, (1, h, d)
+                ).astype(e.dtype)
                 a = a + jnp.sum(e * att_edge, -1)
             logits = nn.leaky_relu(a, self.negative_slope)
             src_feat = xw
@@ -300,7 +330,9 @@ class _GATBase(nn.Module):
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.use_bias:
             bias_dim = h * d if self.concat else d
-            out = out + self.param("bias", nn.initializers.zeros, (bias_dim,))
+            out = out + self.param(
+                "bias", nn.initializers.zeros, (bias_dim,)
+            ).astype(out.dtype)
         return out
 
 
@@ -337,6 +369,46 @@ CONVOLUTION_KWARGS = {
 }
 
 
+def attention_map(intermediates, graph: GraphTensors) -> jnp.ndarray:
+    """Reduce sown per-edge attention to an (n_max, 1) per-node map.
+
+    TPU-native port of the ref's attention debug channel
+    (ref model/model.py:81-93): the reference overwrite-loops
+    ``att_map[dst] = alpha`` (last incoming edge wins, edge order
+    arbitrary); here the max over each node's incoming edges is taken —
+    deterministic and order-independent. ``intermediates`` is the mutable
+    collection returned by ``model.apply(..., mutable=["intermediates"])``;
+    the first sown α (first TransformerConv layer, matching the ref's
+    ``convolutions[0]``) is used.
+    """
+    leaves = [
+        v for path, v in jax.tree_util.tree_leaves_with_path(intermediates)
+        if any(getattr(k, "key", None) == "alpha" for k in path)
+    ]
+    if not leaves:
+        raise ValueError("no sown 'alpha' — run an attention conv with "
+                         "mutable=['intermediates']")
+    alpha = leaves[0]  # (E, heads); first layer's map, ref model.py:83
+    per_edge = jnp.max(alpha, axis=-1)
+    per_edge = jnp.where(graph.edge_valid, per_edge, -jnp.inf)
+    att = (
+        jnp.full((graph.n_max + 1,), -jnp.inf, per_edge.dtype)
+        .at[graph.edge_dst]
+        .max(per_edge)[: graph.n_max]
+    )
+    return jnp.where(jnp.isfinite(att), att, 0.0)[:, None]
+
+
+def dump_attention_map(path, x, att_map) -> None:
+    """Write (x, att_map) as two stacked ``np.save`` records — the ref's
+    scratch/attention_map.npy format (ref model/model.py:89-91)."""
+    import numpy as np
+
+    with open(path, "wb") as f:
+        np.save(f, np.asarray(x))
+        np.save(f, np.asarray(att_map))
+
+
 class GraphConv(nn.Module):
     """A stack of ``n_layers`` same-type convolutions (no nonlinearity in
     between, ref model.py:59-97). ``Dummy`` ⇒ identity passthrough."""
@@ -344,6 +416,7 @@ class GraphConv(nn.Module):
     convolution_type: str
     out_channels: int
     n_layers: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
@@ -352,7 +425,8 @@ class GraphConv(nn.Module):
         cls = CONVOLUTIONS[self.convolution_type]
         kwargs = CONVOLUTION_KWARGS[self.convolution_type]
         for i in range(self.n_layers):
-            x = cls(out_channels=self.out_channels, name=f"conv_{i}", **kwargs)(
+            x = cls(out_channels=self.out_channels, name=f"conv_{i}",
+                    dtype=self.dtype, **kwargs)(
                 x, graph, deterministic=deterministic
             )
         return x

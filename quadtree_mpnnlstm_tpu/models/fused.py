@@ -25,7 +25,7 @@ tests/test_fused.py by transplanting weights.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,7 @@ class FusedGateConvStack(nn.Module):
     n_gates: int = 4
     K: int = 3            # ChebConv filter size (ref model.py:53)
     lambda_max: float = 2.0
+    dtype: Any = None     # compute dtype; f32 master params cast at use
 
     @nn.compact
     def __call__(
@@ -64,7 +65,13 @@ class FusedGateConvStack(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         assert self.convolution_type in FUSABLE, self.convolution_type
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            h = h.astype(self.dtype)
         g, d = self.n_gates, self.out_channels
+
+        def p(w):  # param view in the compute dtype
+            return w if self.dtype is None else w.astype(self.dtype)
 
         def a_mul(z):  # (N, W) → Â z (backend-dispatched, conv.a_mul)
             return a_mul_graph(z, graph)
@@ -91,8 +98,8 @@ class FusedGateConvStack(nn.Module):
             wh = self.param("w_h_0", _glorot_batched(2), (g, self.K, fh, d))
             bx = self.param("b_x_0", nn.initializers.zeros, (g, d))
             bh = self.param("b_h_0", nn.initializers.zeros, (g, d))
-            sx = jnp.einsum("knf,gkfo->gno", t[:, :, :fx], wx) + bx[:, None]
-            sh = jnp.einsum("knf,gkfo->gno", t[:, :, fx:], wh) + bh[:, None]
+            sx = jnp.einsum("knf,gkfo->gno", t[:, :, :fx], p(wx)) + p(bx)[:, None]
+            sh = jnp.einsum("knf,gkfo->gno", t[:, :, fx:], p(wh)) + p(bh)[:, None]
             streams = jnp.concatenate([sx, sh], axis=0)  # (2g, N, d)
             # ---- deeper layers: one aggregation per tap over all streams
             for layer in range(1, self.n_layers):
@@ -104,7 +111,7 @@ class FusedGateConvStack(nn.Module):
                 )
                 b = self.param(f"b_{layer}", nn.initializers.zeros, (s, d))
                 streams = (
-                    jnp.einsum("knsd,skdo->sno", t, w) + b[:, None]
+                    jnp.einsum("knsd,skdo->sno", t, p(w)) + p(b)[:, None]
                 )
         else:  # GCNConv: weights first, one aggregation over all streams
             fx, fh = x.shape[-1], h.shape[-1]
@@ -115,23 +122,23 @@ class FusedGateConvStack(nn.Module):
             n = x.shape[0]
             u = jnp.concatenate(
                 [
-                    jnp.einsum("nf,gfo->ngo", x, wx),
-                    jnp.einsum("nf,gfo->ngo", h, wh),
+                    jnp.einsum("nf,gfo->ngo", x, p(wx)),
+                    jnp.einsum("nf,gfo->ngo", h, p(wh)),
                 ],
                 axis=1,
             )  # (N, 2g, d)
             agg = a_mul(u.reshape(n, 2 * g * d)).reshape(n, 2 * g, d)
             streams = agg.transpose(1, 0, 2) + jnp.concatenate(
-                [bx, bh], 0
+                [p(bx), p(bh)], 0
             )[:, None]
             for layer in range(1, self.n_layers):
                 s = streams.shape[0]
                 w = self.param(f"w_{layer}", _glorot_batched(1), (s, d, d))
                 b = self.param(f"b_{layer}", nn.initializers.zeros, (s, d))
-                u = jnp.einsum("snd,sdo->nso", streams, w).reshape(n, s * d)
+                u = jnp.einsum("snd,sdo->nso", streams, p(w)).reshape(n, s * d)
                 streams = (
                     a_mul(u).reshape(n, s, d).transpose(1, 0, 2)
-                    + b[:, None]
+                    + p(b)[:, None]
                 )
 
         return streams[:g] + streams[g:]  # (g, N, d)

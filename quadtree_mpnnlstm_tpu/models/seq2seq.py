@@ -75,6 +75,7 @@ def _make_cells(cfg: ModelConfig, n_conv_layers: int, name: str):
             out_channels=cfg.hidden_size,
             n_conv_layers=n_conv_layers,
             convolution_type=cfg.convolution_type,
+            dtype=cfg.cdtype,
             name=f"{name}_{i}",
             **kw,
         )
@@ -90,8 +91,9 @@ class Encoder(nn.Module):
     def setup(self):
         if not self.cfg.dummy:
             self.rnns = _make_cells(self.cfg, self.cfg.n_conv_layers, "rnn")
-        self.norm_h = nn.LayerNorm(epsilon=1e-5)
-        self.norm_c = nn.LayerNorm(epsilon=1e-5)
+        # dtype: keep outputs in the compute dtype (stats are f32 inside)
+        self.norm_h = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.cdtype)
+        self.norm_c = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.cdtype)
 
     def __call__(
         self,
@@ -147,12 +149,14 @@ class Decoder(nn.Module):
             )
         else:
             self.fc_out1 = conv_cls(
-                out_channels=cfg.hidden_size, name="fc_out1", **kwargs
+                out_channels=cfg.hidden_size, name="fc_out1",
+                dtype=cfg.cdtype, **kwargs
             )
-            self.fc_out2 = conv_cls(out_channels=1, name="fc_out2", **kwargs)
-        self.norm_o = nn.LayerNorm(epsilon=1e-5)
-        self.norm_h = nn.LayerNorm(epsilon=1e-5)
-        self.norm_c = nn.LayerNorm(epsilon=1e-5)
+            self.fc_out2 = conv_cls(out_channels=1, name="fc_out2",
+                                    dtype=cfg.cdtype, **kwargs)
+        self.norm_o = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.cdtype)
+        self.norm_h = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.cdtype)
+        self.norm_c = nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.cdtype)
         self.drop = nn.Dropout(rate=cfg.dropout)
 
     def gnn_out(self, x, graph, deterministic):
@@ -288,7 +292,9 @@ class _DecoderScanStep(nn.Module):
 
         # -- concat layers (climatology or self-value, see module docstring)
         if self.use_climatology:
-            concat = flatten(clim_t[None], state.graph)[0]
+            concat = flatten(
+                clim_t[None].astype(state.x.dtype), state.graph
+            )[0]
         elif remeshing:
             concat = state.x[:, [0]]
         else:
@@ -314,7 +320,7 @@ class _DecoderScanStep(nn.Module):
             # ref seq2seq.py:434-491
             h_img = unflatten(hidden, state.graph, shape)
             c_img = unflatten(cell, state.graph, shape)
-            base = jnp.where(teacher_force, y_t, y_hat_t)
+            base = jnp.where(teacher_force, y_t.astype(y_hat_t.dtype), y_hat_t)
             frame = add_positional_encoding(base[None])
             new_graph, data = image_to_graph(
                 frame, gcfg, mask=mask, high_interest_region=hir,
@@ -330,10 +336,14 @@ class _DecoderScanStep(nn.Module):
         def no_remesh(_):
             # ref seq2seq.py:420-431
             if self.teacher_forcing_ratio > 0.0:
-                teach_pe = add_positional_encoding(y_t[None])
+                teach_pe = add_positional_encoding(
+                    y_t[None].astype(output.dtype)
+                )
                 teach_nodes = flatten(teach_pe, state.graph)[0]
                 x_teach = jnp.concatenate(
-                    [teach_nodes, state.graph.counts[:, None]], axis=-1
+                    [teach_nodes,
+                     state.graph.counts[:, None].astype(output.dtype)],
+                    axis=-1,
                 )
                 x_pred = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
                 x_new = jnp.where(teacher_force, x_teach, x_pred)
@@ -410,9 +420,10 @@ class Seq2Seq(nn.Module):
         )
 
     def _zeros_state(self):
+        shape = (self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)
         return (
-            jnp.zeros((self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)),
-            jnp.zeros((self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)),
+            jnp.zeros(shape, self.cfg.cdtype),
+            jnp.zeros(shape, self.cfg.cdtype),
         )
 
     def encode(
@@ -426,7 +437,10 @@ class Seq2Seq(nn.Module):
         cfg, gcfg = self.cfg, self.gcfg
         assert x.shape[0] == cfg.input_timesteps
         h0, c0 = self._zeros_state()
-        x_pe = add_positional_encoding(x)
+        # compute_dtype boundary: everything downstream (graph build, node
+        # features, recurrence) runs in cfg.compute_dtype; predictions are
+        # cast back to f32 in decode().
+        x_pe = add_positional_encoding(x.astype(cfg.cdtype))
 
         if cfg.remesh_input and graph_structure is None:
             graph, data = image_to_graph(
@@ -494,7 +508,8 @@ class Seq2Seq(nn.Module):
         state, y_hat = self.dec_scan(
             state, (mask, high_interest_region), (ts, clim, y_xs)
         )
-        return state, y_hat
+        # predictions leave the compute_dtype region in f32 (loss/metrics)
+        return state, y_hat.astype(jnp.float32)
 
     def __call__(
         self,

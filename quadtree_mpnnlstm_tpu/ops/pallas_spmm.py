@@ -95,7 +95,10 @@ def spmm_tile_meta(
     flat = idx.reshape(-1)
     src_w = jnp.take(edge_src, flat).reshape(t, eb).astype(jnp.int32)
     dst_w = jnp.take(edge_dst, flat).reshape(t, eb).astype(jnp.int32)
-    cf_w = jnp.take(coeff, flat).reshape(t, eb)
+    # window metadata stays f32 even in bf16 compute mode: kernel A slices
+    # rows dynamically, and sub-32-bit VMEM refs need stricter (16-row)
+    # alignment Mosaic can't prove here; blocks are cast at apply time
+    cf_w = jnp.take(coeff.astype(jnp.float32), flat).reshape(t, eb)
 
     in_tile = (
         (dst_w >= bases[:-1, None])
@@ -106,8 +109,10 @@ def spmm_tile_meta(
     big = jnp.int32(2**30)
     src_min = jnp.min(jnp.where(real, src_w, big), axis=1)
     src_max = jnp.max(jnp.where(real, src_w, -1), axis=1)
+    # 16-aligned so kernel B's dynamic z-row slice is legal for bf16 inputs
+    # (bf16 packs two rows per sublane; f32 only needs 8)
     s0 = jnp.clip(
-        jnp.where(src_min == big, 0, src_min) & ~7, 0, max(np_ - sw, 0)
+        jnp.where(src_min == big, 0, src_min) & ~15, 0, max(np_ - sw, 0)
     )
 
     src_rel = jnp.where(real, src_w - s0[:, None], -1)
@@ -197,15 +202,17 @@ def spmm_build_blocks(
 # ----------------------------------------------------- kernel B: apply Â·z
 
 
-def _apply_kernel(sw: int):
+def _apply_kernel(sw: int, precision):
     def kernel(s0_ref, m_ref, z_ref, out_ref):
         t = pl.program_id(0)
-        s0 = s0_ref[t, 0]
+        # meta builder aligns s0 with `& ~15`; the hint lets Mosaic prove the
+        # dynamic row slice legal for sub-32-bit z (bf16 packs 2 rows/sublane)
+        s0 = pl.multiple_of(s0_ref[t, 0], 16)
         zwin = z_ref[pl.ds(s0, sw), :]          # (SW, F)
         out_ref[:] = jnp.dot(
             m_ref[0], zwin,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         ).astype(out_ref.dtype)
 
     return kernel
@@ -219,8 +226,16 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
     zrows = max(np_, sw)
     z_p = jnp.zeros((zrows, fp), z.dtype).at[:n_max, :f].set(z[:n_max])
 
+    # bf16 operands feed the MXU natively (f32 accumulation via
+    # preferred_element_type); HIGHEST is only meaningful — and only legal
+    # on Mosaic — for f32 inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if z.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
-        _apply_kernel(sw),
+        _apply_kernel(sw, precision),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((t, 1), lambda i: (0, 0),

@@ -86,6 +86,8 @@ def _as_mask(mask, shape) -> jnp.ndarray:
     return jnp.asarray(mask, dtype=bool)
 
 
+
+
 class NextFramePredictorS2S(NextFramePredictor):
     """Seq2Seq trainer (ref model/mpnnlstm.py:81-443)."""
 
@@ -110,6 +112,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         model_kwargs: Optional[Dict[str, Any]] = None,
         graph_kwargs: Optional[Dict[str, Any]] = None,
         dp_devices: int = 1,
+        train_config=None,
     ):
         super().__init__(
             thresh=thresh,
@@ -127,6 +130,12 @@ class NextFramePredictorS2S(NextFramePredictor):
         self.output_timesteps = output_timesteps
         self.use_climatology = use_climatology
 
+        # Optional TrainConfig: supplies optimisation defaults for train()
+        # and the model compute dtype (TrainConfig.dtype → compute_dtype).
+        self.train_config = train_config
+        if train_config is not None:
+            seed = train_config.seed
+
         mk = dict(model_kwargs or {})
         self.cfg = ModelConfig(
             hidden_size=mk.pop("hidden_size", 32),
@@ -143,6 +152,10 @@ class NextFramePredictorS2S(NextFramePredictor):
             remesh_input=remesh_input,
             remesh_every=mk.pop("remesh_every", 1),
             fused_gates=mk.pop("fused_gates", True),
+            compute_dtype=mk.pop(
+                "compute_dtype",
+                train_config.dtype if train_config is not None else "float32",
+            ),
         )
         assert not mk, f"unknown model_kwargs: {sorted(mk)}"
 
@@ -262,6 +275,9 @@ class NextFramePredictorS2S(NextFramePredictor):
         optimizer = self.optimizer
 
         def sample_loss(params, x, y, clim, mask, hir, gs, rng):
+            # mixed precision needs no param handling here: the model's
+            # layers carry ModelConfig.compute_dtype and cast the f32
+            # master params at use (grads come back f32).
             rngs = {"dropout": rng[0], "sampling": rng[1]}
             clim_arg = clim if self.use_climatology else None
             if len(chunks) == 1:
@@ -423,15 +439,26 @@ class NextFramePredictorS2S(NextFramePredictor):
         loader_train,
         loader_test,
         climatology=None,
-        n_epochs: int = 200,
-        lr: float = 0.01,
-        lr_decay: float = 0.95,
+        n_epochs: Optional[int] = None,
+        lr: Optional[float] = None,
+        lr_decay: Optional[float] = None,
         mask=None,
         high_interest_region=None,
-        truncated_backprop: int = 0,
+        truncated_backprop: Optional[int] = None,
         graph_structure=None,
     ):
-        """ref model/mpnnlstm.py:187-387."""
+        """ref model/mpnnlstm.py:187-387. Optimisation arguments default to
+        the constructor's ``train_config`` when one was passed (else the
+        reference's literals)."""
+        tc = self.train_config
+        if n_epochs is None:
+            n_epochs = tc.n_epochs if tc is not None else 200
+        if lr is None:
+            lr = tc.lr if tc is not None else 0.01
+        if lr_decay is None:
+            lr_decay = tc.lr_decay if tc is not None else 0.95
+        if truncated_backprop is None:
+            truncated_backprop = tc.truncated_backprop if tc is not None else 0
         image_shape = self.gcfg.image_shape
         if mask is not None:
             assert tuple(np.asarray(mask).shape) == tuple(image_shape), (

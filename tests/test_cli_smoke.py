@@ -27,14 +27,38 @@ def test_ice_exp_synthetic_runs(tmp_path, monkeypatch):
     ice_exp.main([
         "-m", "6", "-e", "1", "--synthetic", "--epochs", "1",
         "--batch-size", "4", "--results-dir", str(tmp_path / "res"),
+        "--mesh-png",
     ])
     files = os.listdir(tmp_path / "res")
     assert any(f.startswith("loss_") for f in files)
     assert any(f.startswith("valpredictions_") for f in files)
     assert any(f.endswith(".msgpack") for f in files)
+    assert any(f.startswith("mesh_hir_") for f in files)
     loss_file = next(f for f in files if f.startswith("loss_"))
     loss = json.load(open(tmp_path / "res" / loss_file))
     assert np.isfinite(loss["train_loss"]).all()
+
+
+def test_hir_densifies_corridor():
+    """The synthetic shipping corridor forces quadtree splits: node count at
+    thresh=+inf (splits only at mask/HIR overlap) must rise with HIR on
+    (ref ice_exp.py:122,203 wiring; quadtree HIR force-split
+    graph_functions.py:241-244)."""
+    import jax.numpy as jnp
+
+    from quadtree_mpnnlstm_tpu.cli.ice_exp import synthetic_hir
+    from quadtree_mpnnlstm_tpu.config import GraphConfig
+    from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+    from quadtree_mpnnlstm_tpu.utils import add_positional_encoding
+
+    shape = (32, 32)
+    hir = jnp.asarray(synthetic_hir(shape))
+    cfg = GraphConfig(image_shape=shape, max_grid_size=8,
+                      thresh=float("inf"))
+    x = add_positional_encoding(jnp.zeros((1, *shape, 1)))
+    g_off, _ = image_to_graph(x, cfg)
+    g_on, _ = image_to_graph(x, cfg, high_interest_region=hir)
+    assert int(g_on.n_nodes) > int(g_off.n_nodes)
 
 
 def test_ice_profile_runs(tmp_path, monkeypatch, capsys):

@@ -233,3 +233,36 @@ def test_unweighted_edges_cancel_in_gcn_norm():
     out_u = conv.apply(params, jnp.asarray(d1), g2)
     # weights differ per edge (distances vary on a quadtree) → outputs differ
     assert not np.allclose(np.asarray(out_w), np.asarray(out_u), atol=1e-6) or True
+
+
+def test_attention_map_side_channel(tmp_path):
+    """Port of the ref's attention debug dump (ref model/model.py:81-93):
+    sow α inside TransformerConv, reduce to an (n_max, 1) node map, dump in
+    the ref's two-record npy format."""
+    from quadtree_mpnnlstm_tpu.models.conv import (
+        attention_map,
+        dump_attention_map,
+    )
+
+    graph, data, cfg = small_graph()
+    x = jnp.asarray(data)
+    conv = GraphConv(
+        convolution_type="TransformerConv", out_channels=5, n_layers=2
+    )
+    params = conv.init(jax.random.PRNGKey(0), x, graph)
+    out, state = conv.apply(params, x, graph, mutable=["intermediates"])
+    att = attention_map(state["intermediates"], graph)
+    assert att.shape == (graph.n_max, 1)
+    att_np = np.asarray(att)
+    valid = np.asarray(graph.node_valid)
+    # valid nodes with incoming edges carry a softmax weight in (0, 1]
+    assert (att_np[valid, 0] > 0).any()
+    assert np.all(att_np[~valid] == 0)
+
+    p = tmp_path / "attention_map.npy"
+    dump_attention_map(p, x, att)
+    with open(p, "rb") as f:
+        x_back = np.load(f)
+        att_back = np.load(f)
+    np.testing.assert_allclose(att_back, att_np)
+    assert x_back.shape == x.shape
