@@ -13,7 +13,6 @@ gradients through ``where``.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +20,12 @@ import jax.numpy as jnp
 _NEG_BIG = -1e30
 
 
-def _pallas_mode() -> str:
-    """Where to use the MXU one-hot-matmul kernel: 'off' | 'bwd' | 'all'.
+_SEGMENT_BACKEND = "off"
+
+
+def set_segment_backend(mode: str) -> None:
+    """Select the experimental MXU one-hot-matmul segment kernel:
+    'off' | 'bwd' (gather backwards only) | 'all'.
 
     Measured trade-offs on v5e (Moving-MNIST train step): the *forward*
     aggregations ride sorted-sentinel edge lists, where XLA's sorted
@@ -30,10 +33,19 @@ def _pallas_mode() -> str:
     ('all' gave 65 → 4.5 frames/s). The *backward* of every feature gather
     is an UNSORTED scatter-add — XLA's worst case standalone — but measured
     end-to-end even 'bwd' loses to XLA's fused scatters (57 vs 65 frames/s),
-    so the default is 'off'. Env override: QTM_PALLAS=off|bwd|all."""
+    so the default is 'off' and the production SpMM path is
+    ``GraphConfig(aggregation="pallas")`` instead (ops/pallas_spmm.py).
+    Kept for ablation; call BEFORE tracing (jit caches bake the choice in).
+    """
+    assert mode in ("off", "bwd", "all"), mode
+    global _SEGMENT_BACKEND
+    _SEGMENT_BACKEND = mode
+
+
+def _pallas_mode() -> str:
     if jax.default_backend() != "tpu":
         return "off"
-    return os.environ.get("QTM_PALLAS", "off")
+    return _SEGMENT_BACKEND
 
 
 def _use_pallas() -> bool:
