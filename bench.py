@@ -46,10 +46,14 @@ def make_predictor(batch, agg, devices=1, dtype="float32"):
             hidden_size=16, dropout=0.1, n_layers=2, n_conv_layers=2,
             convolution_type="ChebConv", compute_dtype=dtype,
         ),
-        # Tight capacities: Moving-MNIST quadtrees use ~600-1500 nodes and a
-        # few thousand edges; aggregation cost scales with capacity.
-        graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=8192,
-                          aggregation=agg),
+        # Capacity control: early-training predictions are blurry and
+        # quadtree-split the WHOLE canvas (measured: 3800+ nodes / 15k+
+        # edges — round 1's 2048/8192 "tight caps" silently dropped mesh
+        # content; see BASELINE.md). node_budget coarsens such meshes
+        # gracefully instead, so 2048-slot capacities are exact by
+        # construction; measure() asserts the overflow counter stays 0.
+        graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=10240,
+                          node_budget=2048, agg_sw=1024, aggregation=agg),
         dp_devices=devices,
     )
 
@@ -98,14 +102,20 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
 
     st = time.perf_counter()
     last = 0.0
+    max_ovf = 0
     for i in range(1, n_steps + 1):
-        params, opt_state, loss, _ = step(
+        params, opt_state, loss, aux = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
         )
         last = float(loss)
+        max_ovf = max(max_ovf, int(aux["mesh_overflow"]))
     dt = time.perf_counter() - st
     assert np.isfinite(last), "non-finite training loss in bench"
+    assert max_ovf == 0, (
+        f"mesh capacity overflow in bench ({max_ovf} dropped slots) — "
+        "caps too tight for this workload"
+    )
     if detail_out is not None:
         step_s = dt / n_steps
         detail_out["step_ms"] = round(step_s * 1e3, 2)

@@ -69,6 +69,12 @@ class GraphConfig:
     n_max: Optional[int] = None
     e_max: Optional[int] = None
     max_degree: Optional[int] = None
+    # Optional hard bound on live node count: when a mesh would exceed it,
+    # the finest refinement level is coarsened globally (one level at a
+    # time) until it fits — graceful, partition-consistent degradation
+    # instead of the n_max overflow guard's silent raster-tail drop.
+    # None = unbounded (reference parity). See quadtree._apply_node_budget.
+    node_budget: Optional[int] = None
     # Aggregation backend for the Â·z SpMM inside GCN/Cheb convolutions:
     #   "xla"    — gather + sorted scatter-add (XLA default path)
     #   "pallas" — fused VMEM-resident one-hot-matmul kernel

@@ -113,7 +113,8 @@ def _assemble(
         overflow = overflow + window_overflow
         graph = graph.replace(
             agg_meta=spmm_build_blocks(
-                windows, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw
+                windows, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw,
+                n_nodes=n_nodes,
             ),
             agg=("pallas", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
         )

@@ -132,7 +132,61 @@ def decompose_levels(
         split_pix = jnp.repeat(jnp.repeat(split, size, axis=0), size, axis=1)
         level = jnp.where(split_pix, level, jnp.int32(lvl))
 
-    return level[:rows, :cols]
+    level = level[:rows, :cols]
+    if cfg.node_budget:
+        level = _apply_node_budget(level, cfg, mask)
+    return level
+
+
+def _apply_node_budget(
+    level: jnp.ndarray, cfg: GraphConfig, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Coarsen the mesh to respect ``cfg.node_budget`` (TPU-native capacity
+    control; no reference counterpart — the reference's meshes are
+    unbounded dynamic shapes).
+
+    Picks the largest refinement cutoff L* whose capped mesh
+    ``level' = min(level, L*)`` has ≤ budget nodes and applies it. Capping
+    is partition-consistent: a size-(g≫L) aligned block either lies wholly
+    inside a bigger (≤ L) cell — in which case every pixel in it keeps that
+    cell — or contains only deeper pixels, all of which are capped to the
+    block. So, unlike a node-capacity overflow (which silently drops the
+    raster tail of the mesh), the budget degrades gracefully: the finest
+    cells coarsen one level at a time, everywhere at once.
+
+    Mask-forced splits are preserved: masked pixels stay singletons in
+    ``pixel_nodes_from_levels`` regardless of the level map, and L*
+    selection counts only unmasked leaders (the budget is a bound on real
+    nodes).
+    """
+    rows, cols = level.shape
+    g = cfg.max_grid_size
+    depth = cfg.depth
+    invalid = (
+        mask.astype(bool)
+        if mask is not None
+        else jnp.zeros((rows, cols), dtype=bool)
+    )
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+
+    def n_nodes_at(cap: int) -> jnp.ndarray:
+        size = (g >> jnp.minimum(level, cap)).astype(jnp.int32)
+        leader = (
+            (r == jnp.bitwise_and(r, ~(size - 1)))
+            & (c == jnp.bitwise_and(c, ~(size - 1)))
+            & ~invalid
+        )
+        return jnp.sum(leader.astype(jnp.int32))
+
+    counts = jnp.stack([n_nodes_at(cap) for cap in range(depth + 1)])
+    # Masked singletons are exempt from capping; count them once so the
+    # budget bounds the full node count including them.
+    n_masked_nodes = 0  # masked pixels are sentinel-labelled, not nodes
+    fits = (counts + n_masked_nodes) <= cfg.node_budget
+    # largest cap that fits; cap 0 (base grid) is the floor either way
+    cap_star = jnp.max(jnp.where(fits, jnp.arange(depth + 1), 0))
+    return jnp.minimum(level, cap_star)
 
 
 def pixel_nodes_from_levels(

@@ -253,6 +253,15 @@ class _EncoderRemeshStep(nn.Module):
                 high_interest_region=hir,
                 transform_func=self.transform_func,
             )
+            # running max so the final state reports the whole rollout's
+            # worst capacity overflow (surfaced by the trainer); None on
+            # hand-built meshes
+            if state.graph.overflow is not None:
+                new_graph = new_graph.replace(
+                    overflow=jnp.maximum(
+                        new_graph.overflow, state.graph.overflow
+                    )
+                )
             return Seq2SeqState(
                 graph=new_graph,
                 x=data[0],
@@ -326,6 +335,13 @@ class _DecoderScanStep(nn.Module):
                 frame, gcfg, mask=mask, high_interest_region=hir,
                 transform_func=self.transform_func,
             )
+            # running max overflow across the rollout (see encoder remesh)
+            if state.graph.overflow is not None:
+                new_graph = new_graph.replace(
+                    overflow=jnp.maximum(
+                        new_graph.overflow, state.graph.overflow
+                    )
+                )
             return Seq2SeqState(
                 graph=new_graph,
                 x=data[0],
@@ -498,6 +514,15 @@ class Seq2Seq(nn.Module):
         """ref seq2seq.py:339-398 (unroll_output). Returns
         (state, y_hat (n_steps, rows, cols, 1))."""
         rows, cols = self.gcfg.image_shape
+        if state.graph.overflow is None:
+            # hand-built meshes (e.g. custom graph_structure) may omit the
+            # counter; normalise so the scan carry structure is stable when
+            # remeshing introduces freshly-built graphs
+            state = state.replace(
+                graph=state.graph.replace(
+                    overflow=jnp.zeros((), jnp.int32)
+                )
+            )
         ts = t0 + jnp.arange(n_steps)
         clim = (
             concat_layers

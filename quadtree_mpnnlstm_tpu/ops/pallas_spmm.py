@@ -140,39 +140,56 @@ class SpmmBlocks(NamedTuple):
     (kernel A) and reused by every ``a_mul`` of that mesh (~20 per decoder
     step across gates, Chebyshev taps and head convs) — the one-hot
     expansion cost is paid per *remesh*, not per conv.
+
+    ``live`` is the live-tile count ⌈n_nodes/NT⌉: tiles past it hold only
+    padding nodes (their blocks are identically zero), so both kernels
+    skip their matmuls and just write zeros — aggregation cost scales with
+    the LIVE mesh, not the provisioned capacity (converged Moving-MNIST
+    meshes use ~600 of 2048 slots ⇒ 5/16 tiles live).
     """
 
-    s0: jnp.ndarray      # (T, 1) int32 — source-window start (8-aligned)
+    s0: jnp.ndarray      # (T, 1) int32 — source-window start (16-aligned)
     blocks: jnp.ndarray  # (T, NT, SW) f32
+    live: jnp.ndarray    # (1, 1) int32 — live-tile count
 
 
 def _build_kernel(nt: int, sw: int):
-    def kernel(src_ref, dst_ref, cf_ref, out_ref):
+    def kernel(live_ref, src_ref, dst_ref, cf_ref, out_ref):
         eb = src_ref.shape[-1]
         t = pl.program_id(0)
-        src = src_ref[pl.ds(t, 1), :]   # (1, EB) src − s0[t]; −1 = dead lane
-        dst = dst_ref[pl.ds(t, 1), :]   # (1, EB) dst − t·NT
-        cf = cf_ref[pl.ds(t, 1), :]     # (1, EB)
 
-        rows_d = jax.lax.broadcasted_iota(jnp.int32, (nt, eb), 0)
-        oh_dst_w = jnp.where(rows_d == dst, cf, 0.0)          # (NT, EB)
-        rows_s = jax.lax.broadcasted_iota(jnp.int32, (sw, eb), 0)
-        oh_src_t = (rows_s == src).astype(jnp.float32)        # (SW, EB)
-        out_ref[0] = jax.lax.dot_general(
-            oh_dst_w, oh_src_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),       # (NT, SW)
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        @pl.when(t < live_ref[0, 0])
+        def _build():
+            src = src_ref[pl.ds(t, 1), :]  # (1, EB) src − s0[t]; −1 = dead
+            dst = dst_ref[pl.ds(t, 1), :]  # (1, EB) dst − t·NT
+            cf = cf_ref[pl.ds(t, 1), :]    # (1, EB)
+
+            rows_d = jax.lax.broadcasted_iota(jnp.int32, (nt, eb), 0)
+            oh_dst_w = jnp.where(rows_d == dst, cf, 0.0)       # (NT, EB)
+            rows_s = jax.lax.broadcasted_iota(jnp.int32, (sw, eb), 0)
+            oh_src_t = (rows_s == src).astype(jnp.float32)     # (SW, EB)
+            out_ref[0] = jax.lax.dot_general(
+                oh_dst_w, oh_src_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),    # (NT, SW)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(t >= live_ref[0, 0])
+        def _dead():  # padding tiles: identically-zero blocks, no matmul
+            out_ref[0] = jnp.zeros((nt, sw), jnp.float32)
 
     return kernel
 
 
 def spmm_build_blocks(
-    windows: SpmmWindows, nt: int, eb: int, sw: int
+    windows: SpmmWindows, nt: int, eb: int, sw: int, n_nodes=None
 ) -> SpmmBlocks:
     """Kernel A: densify each tile's edge window into an (NT, SW) Â block
     (one-hots live only in VMEM; entries are exact coeff sums).
+
+    ``n_nodes`` (dynamic) bounds the live-tile count so padding tiles skip
+    their matmuls in both kernels; None = treat every tile as live.
 
     Â is non-differentiable by design — the reference detaches predictions
     before remeshing (ref seq2seq.py:440 ``.detach()``) and node positions
@@ -181,10 +198,18 @@ def spmm_build_blocks(
     """
     windows = jax.lax.stop_gradient(windows)
     t = windows.src_rel.shape[0]
+    if n_nodes is None:
+        live = jnp.full((1, 1), t, jnp.int32)
+    else:
+        n = jnp.clip(jnp.asarray(n_nodes, jnp.int32), 0, t * nt)
+        live = ((n + nt - 1) // nt).reshape(1, 1)
+    live = jax.lax.stop_gradient(live)
     blocks = pl.pallas_call(
         _build_kernel(nt, sw),
         grid=(t,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((t, eb), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, eb), lambda i: (0, 0),
@@ -195,25 +220,33 @@ def spmm_build_blocks(
         out_specs=pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t, nt, sw), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(windows.src_rel, windows.dst_rel, windows.coeff)
-    return SpmmBlocks(s0=windows.s0, blocks=blocks)
+    )(live, windows.src_rel, windows.dst_rel, windows.coeff)
+    return SpmmBlocks(s0=windows.s0, blocks=blocks, live=live)
 
 
 # ----------------------------------------------------- kernel B: apply Â·z
 
 
 def _apply_kernel(sw: int, precision):
-    def kernel(s0_ref, m_ref, z_ref, out_ref):
+    def kernel(s0_ref, live_ref, m_ref, z_ref, out_ref):
         t = pl.program_id(0)
-        # meta builder aligns s0 with `& ~15`; the hint lets Mosaic prove the
-        # dynamic row slice legal for sub-32-bit z (bf16 packs 2 rows/sublane)
-        s0 = pl.multiple_of(s0_ref[t, 0], 16)
-        zwin = z_ref[pl.ds(s0, sw), :]          # (SW, F)
-        out_ref[:] = jnp.dot(
-            m_ref[0], zwin,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(out_ref.dtype)
+
+        @pl.when(t < live_ref[0, 0])
+        def _mul():
+            # meta builder aligns s0 with `& ~15`; the hint lets Mosaic
+            # prove the dynamic row slice legal for sub-32-bit z (bf16
+            # packs 2 rows/sublane)
+            s0 = pl.multiple_of(s0_ref[t, 0], 16)
+            zwin = z_ref[pl.ds(s0, sw), :]      # (SW, F)
+            out_ref[:] = jnp.dot(
+                m_ref[0], zwin,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ).astype(out_ref.dtype)
+
+        @pl.when(t >= live_ref[0, 0])
+        def _dead():  # padding tiles: Â block is zero ⇒ output is zero
+            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     return kernel
 
@@ -240,6 +273,8 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
         in_specs=[
             pl.BlockSpec((t, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),             # s0
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),             # live tiles
             pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # Â block
             pl.BlockSpec((zrows, fp), lambda i: (0, 0),
@@ -248,7 +283,7 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
         out_specs=pl.BlockSpec((nt, fp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, fp), z.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(meta.s0, meta.blocks.astype(z.dtype), z_p)
+    )(meta.s0, meta.live, meta.blocks.astype(z.dtype), z_p)
     return out[:n_max, :f]
 
 

@@ -274,23 +274,37 @@ class NextFramePredictorS2S(NextFramePredictor):
         chunks = self._chunks(truncated)
         optimizer = self.optimizer
 
+        def _graph_overflow(state):
+            # rollout-max capacity-overflow counter accumulated through the
+            # scan carry (seq2seq do_remesh); None for hand-built meshes
+            ovf = state.graph.overflow
+            if ovf is None:
+                return jnp.zeros((), jnp.int32)
+            return jax.lax.stop_gradient(ovf)
+
         def sample_loss(params, x, y, clim, mask, hir, gs, rng):
             # mixed precision needs no param handling here: the model's
             # layers carry ModelConfig.compute_dtype and cast the f32
             # master params at use (grads come back f32).
+            # Returns (loss, rollout-max mesh-capacity overflow).
             rngs = {"dropout": rng[0], "sampling": rng[1]}
             clim_arg = clim if self.use_climatology else None
             if len(chunks) == 1:
-                y_hat = model.apply(
-                    params, x, y, clim_arg,
+                state = model.apply(
+                    params, x,
                     mask=mask, high_interest_region=hir, graph_structure=gs,
-                    rngs=rngs,
+                    rngs=rngs, method=Seq2Seq.encode,
                 )
-                return loss_func(y_hat, y, mask)
+                state, y_hat = model.apply(
+                    params, state, 0, self.output_timesteps, y, clim_arg,
+                    mask, hir, rngs=rngs, method=Seq2Seq.decode,
+                )
+                return loss_func(y_hat, y, mask), _graph_overflow(state)
             # Truncated BPTT: re-encode per chunk (ref mpnnlstm.py:281-315),
             # rematerialise each chunk's rollout; loss = Σ chunk means (the
             # reference's per-chunk backward accumulates exactly this grad).
             total = 0.0
+            ovf = jnp.zeros((), jnp.int32)
             for t0, n in chunks:
                 state = model.apply(
                     params, x,
@@ -299,19 +313,22 @@ class NextFramePredictorS2S(NextFramePredictor):
                 )
 
                 def chunk_fn(p, s, yc, cc, t0=t0, n=n):
-                    _, y_hat = model.apply(
+                    s, y_hat = model.apply(
                         p, s, t0, n, yc,
                         cc if self.use_climatology else None,
                         mask, hir,
                         rngs=rngs, method=Seq2Seq.decode,
                     )
-                    return y_hat
+                    return y_hat, _graph_overflow(s)
 
                 y_c = jax.lax.dynamic_slice_in_dim(y, t0, n, axis=0)
                 c_c = jax.lax.dynamic_slice_in_dim(clim, t0, n, axis=0)
-                y_hat = jax.checkpoint(chunk_fn)(params, state, y_c, c_c)
+                y_hat, chunk_ovf = jax.checkpoint(chunk_fn)(
+                    params, state, y_c, c_c
+                )
+                ovf = jnp.maximum(ovf, chunk_ovf)
                 total = total + loss_func(y_hat, y_c, mask)
-            return total
+            return total, ovf
 
         debug = self.debug
         dp = self.dp_devices
@@ -326,18 +343,21 @@ class NextFramePredictorS2S(NextFramePredictor):
 
             def device_fn(params, x, y, clim, keys, mask, hir, gs):
                 def local_loss(params):
-                    losses = jax.vmap(
+                    losses, ovfs = jax.vmap(
                         lambda xb, yb, cb, kb: sample_loss(
                             params, xb, yb, cb, mask, hir, gs, kb
                         )
                     )(x, y, clim, keys)
-                    return jnp.mean(losses)
+                    return jnp.mean(losses), jnp.max(ovfs)
 
-                loss, grads = jax.value_and_grad(local_loss)(params)
+                (loss, ovf), grads = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(params)
                 # Equal shard sizes ⇒ pmean of shard means = global mean.
                 return (
                     jax.lax.pmean(loss, "data"),
                     jax.lax.pmean(grads, "data"),
+                    jax.lax.pmax(ovf, "data"),
                 )
 
             sharded = shard_map(
@@ -345,7 +365,7 @@ class NextFramePredictorS2S(NextFramePredictor):
                 mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
                           P(), P(), P()),
-                out_specs=(P(), P()),
+                out_specs=(P(), P(), P()),
                 check_vma=False,
             )
 
@@ -355,17 +375,22 @@ class NextFramePredictorS2S(NextFramePredictor):
             )
 
             if dp > 1:
-                loss, grads = sharded(params, x, y, clim, keys, mask, hir, gs)
+                loss, grads, ovf = sharded(
+                    params, x, y, clim, keys, mask, hir, gs
+                )
             else:
                 def batch_loss(params):
-                    losses = jax.vmap(
+                    losses, ovfs = jax.vmap(
                         lambda xb, yb, cb, kb: sample_loss(
                             params, xb, yb, cb, mask, hir, gs, kb
                         )
                     )(x, y, clim, keys)
-                    return jnp.mean(losses)
+                    return jnp.mean(losses), jnp.max(ovfs)
 
-                loss, grads = jax.value_and_grad(batch_loss)(params)
+                (loss, ovf), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(params)
+            aux = {"mesh_overflow": ovf}
             if debug:
                 # encoder/decoder gradient norms (ref mpnnlstm.py:272-276)
                 def tree_norm(t):
@@ -377,12 +402,8 @@ class NextFramePredictorS2S(NextFramePredictor):
                     )
 
                 p = grads["params"]
-                aux = {
-                    "enc_grad_norm": tree_norm(p.get("enc", {})),
-                    "dec_grad_norm": tree_norm(p.get("dec", {})),
-                }
-            else:
-                aux = {}
+                aux["enc_grad_norm"] = tree_norm(p.get("enc", {}))
+                aux["dec_grad_norm"] = tree_norm(p.get("dec", {}))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux
@@ -479,6 +500,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         for epoch in range(n_epochs):
             self._set_lr()
             running, steps = 0.0, 0
+            epoch_overflow = 0
             for x, y, launch in loader_train:
                 if self.dp_devices > 1 and x.shape[0] % self.dp_devices:
                     raise ValueError(
@@ -494,7 +516,10 @@ class NextFramePredictorS2S(NextFramePredictor):
                 )
                 loss = float(loss)
                 self.writer.scalar("Loss/train", loss, batch_step)
-                if aux:  # debug grad norms (ref mpnnlstm.py:272-276)
+                epoch_overflow = max(
+                    epoch_overflow, int(aux.get("mesh_overflow", 0))
+                )
+                if "enc_grad_norm" in aux:  # debug (ref mpnnlstm.py:272-276)
                     self.writer.scalar(
                         "Grad/encoder/grad_norms",
                         float(aux["enc_grad_norm"]), batch_step,
@@ -526,6 +551,15 @@ class NextFramePredictorS2S(NextFramePredictor):
                 raise ValueError("Diverged :(")  # ref :366-367
 
             self.writer.scalar("Loss/test", running_test, epoch)
+            # rollout-max capacity overflow: >0 means the mesh dropped
+            # nodes/edges/window slots — raise n_max/e_max/agg_* caps
+            self.writer.scalar("Mesh/overflow_max", epoch_overflow, epoch)
+            if epoch_overflow > 0:
+                print(
+                    f"WARNING: mesh capacity overflow ({epoch_overflow} "
+                    "dropped slots at the worst step) — raise "
+                    "n_max/e_max/agg_* (GraphConfig)"
+                )
             self._epoch += 1
             self.train_loss.append(running)
             self.test_loss.append(running_test)

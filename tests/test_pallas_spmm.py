@@ -134,3 +134,38 @@ def test_edge_overflow_counted():
     _, g_tight, _ = _graph(thresh=-float("inf"), n_max=1024,
                            e_max=(true_edges // 2) & ~7 or 8)
     assert int(g_tight.overflow) > 0
+
+
+def test_overflow_surfaces_through_train_step():
+    """Rollout-max overflow is accumulated through the scan carry and
+    returned in the train step's aux dict (VERDICT r1 item 6: undersized
+    caps must degrade loudly)."""
+    import jax
+    from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+    shape = (16, 16)
+
+    def make(n_max, e_max):
+        return NextFramePredictorS2S(
+            image_shape=shape, thresh=0.1, experiment_name="ovf",
+            decompose=True, input_features=1, input_timesteps=2,
+            output_timesteps=2,
+            model_kwargs=dict(hidden_size=4, dropout=0.0, n_layers=1,
+                              n_conv_layers=1, convolution_type="GCNConv"),
+            graph_kwargs=dict(max_grid_size=4, n_max=n_max, e_max=e_max),
+        )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 2, *shape, 1)).astype(np.float32))
+    y = jnp.asarray(rng.random((2, 2, *shape, 1)).astype(np.float32))
+    clim = jnp.zeros((2, 2, *shape, 1))
+    m = jnp.zeros(shape, bool)
+
+    for n_max, e_max, expect_overflow in ((256, 1024, False), (16, 64, True)):
+        pred = make(n_max, e_max)
+        pred.initiate_training(lr=0.01, lr_decay=0.95)
+        step = pred._get_train_step(False, 0)
+        _, _, _, aux = step(pred.params, pred.opt_state, x, y, clim, m, m,
+                            None, jax.random.PRNGKey(0))
+        ovf = int(aux["mesh_overflow"])
+        assert (ovf > 0) == expect_overflow, (n_max, e_max, ovf)
