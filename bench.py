@@ -31,7 +31,7 @@ CANVAS = (64, 64)
 T_IN, T_OUT = 4, 10
 
 
-def make_predictor(batch, agg, devices=1, dtype="float32"):
+def make_predictor(batch, agg, devices=1, dtype="float32", remat=True):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     return NextFramePredictorS2S(
@@ -44,7 +44,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32"):
         output_timesteps=T_OUT,
         model_kwargs=dict(
             hidden_size=16, dropout=0.1, n_layers=2, n_conv_layers=2,
-            convolution_type="ChebConv", compute_dtype=dtype,
+            convolution_type="ChebConv", compute_dtype=dtype, remat=remat,
         ),
         # Capacity control: early-training predictions are blurry and
         # quadtree-split the WHOLE canvas (measured: 3800+ nodes / 15k+
@@ -59,7 +59,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32"):
 
 
 def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
-            detail_out=None):
+            detail_out=None, remat=True):
     """frames/sec for one configuration (fwd+bwd+Adam, host-synced).
 
     ``detail_out``: optional dict that receives step_ms, the compiled
@@ -76,7 +76,7 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
         canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
         velocity_noise=0.0, seed=seed,
     )
-    model = make_predictor(batch, agg, devices, dtype)
+    model = make_predictor(batch, agg, devices, dtype, remat)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -155,6 +155,9 @@ def main():
                     "— the production TPU mode; f32 master params; MSE "
                     "parity vs the torch reference is proven in f32, "
                     "PARITY.json)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-step remat: +12%% throughput, ~10x "
+                    "compile time (use with a warm compilation cache)")
     ap.add_argument("--full", action="store_true",
                     help="sweep batches/backends, write BENCH_DETAIL.json")
     ap.add_argument("--measure-baseline", action="store_true",
@@ -200,7 +203,8 @@ def main():
             json.dump(detail, f, indent=2)
     else:
         fps = measure(args.batch, args.agg, args.steps,
-                      devices=args.devices, dtype=args.dtype)
+                      devices=args.devices, dtype=args.dtype,
+                      remat=not args.no_remat)
 
     print(
         json.dumps(

@@ -114,7 +114,7 @@ def _assemble(
         graph = graph.replace(
             agg_meta=spmm_build_blocks(
                 windows, cfg.agg_nt, cfg.agg_eb, cfg.agg_sw,
-                n_nodes=n_nodes,
+                n_nodes=n_nodes, block_dtype=data.dtype,
             ),
             agg=("pallas", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
         )

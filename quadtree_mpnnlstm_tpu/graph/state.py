@@ -137,9 +137,14 @@ def unflatten(
       (..., rows, cols, C).
     """
     rows, cols = image_shape
-    fill_row = jnp.full(data.shape[:-2] + (1, data.shape[-1]), fill, data.dtype)
-    padded = jnp.concatenate([data, fill_row], axis=-2)  # sentinel row
-    img = jnp.take(padded, graph.pixel_node, axis=-2)
+    n_max = data.shape[-2]
+    # clamp-gather + mask instead of concatenating a sentinel row: the
+    # concat materialises a full copy of ``data`` per call (measured ~10%
+    # of the decoder-scan DMA time when unflattening H/C every remesh)
+    idx = jnp.minimum(graph.pixel_node, n_max - 1)
+    img = jnp.take(data, idx, axis=-2)
+    valid = (graph.pixel_node < n_max)[:, None]
+    img = jnp.where(valid, img, jnp.asarray(fill, data.dtype))
     return img.reshape(data.shape[:-2] + (rows, cols, data.shape[-1]))
 
 

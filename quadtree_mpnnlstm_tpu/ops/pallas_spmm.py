@@ -173,23 +173,27 @@ def _build_kernel(nt: int, sw: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),    # (NT, SW)
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )
+            ).astype(out_ref.dtype)
 
         @pl.when(t >= live_ref[0, 0])
         def _dead():  # padding tiles: identically-zero blocks, no matmul
-            out_ref[0] = jnp.zeros((nt, sw), jnp.float32)
+            out_ref[0] = jnp.zeros((nt, sw), out_ref.dtype)
 
     return kernel
 
 
 def spmm_build_blocks(
-    windows: SpmmWindows, nt: int, eb: int, sw: int, n_nodes=None
+    windows: SpmmWindows, nt: int, eb: int, sw: int, n_nodes=None,
+    block_dtype=jnp.float32,
 ) -> SpmmBlocks:
     """Kernel A: densify each tile's edge window into an (NT, SW) Â block
     (one-hots live only in VMEM; entries are exact coeff sums).
 
     ``n_nodes`` (dynamic) bounds the live-tile count so padding tiles skip
     their matmuls in both kernels; None = treat every tile as live.
+    ``block_dtype`` stores Â in the compute dtype (bf16 halves the largest
+    scan-carry tensor and removes kernel B's per-call cast; entries are in
+    [0, 1] so bf16 keeps ~3 significant digits).
 
     Â is non-differentiable by design — the reference detaches predictions
     before remeshing (ref seq2seq.py:440 ``.detach()``) and node positions
@@ -218,7 +222,7 @@ def spmm_build_blocks(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t, nt, sw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, nt, sw), block_dtype),
         interpret=jax.default_backend() == "cpu",
     )(live, windows.src_rel, windows.dst_rel, windows.coeff)
     return SpmmBlocks(s0=windows.s0, blocks=blocks, live=live)

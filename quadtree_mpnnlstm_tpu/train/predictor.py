@@ -157,6 +157,7 @@ class NextFramePredictorS2S(NextFramePredictor):
                 train_config.dtype if train_config is not None else "float32",
             ),
         )
+        remat = mk.pop("remat", True)
         assert not mk, f"unknown model_kwargs: {sorted(mk)}"
 
         gk = dict(graph_kwargs or {})
@@ -175,6 +176,10 @@ class NextFramePredictorS2S(NextFramePredictor):
             gcfg=self.gcfg,
             transform_func=transform_func,
             use_climatology=use_climatology,
+            # Per-step remat keeps rollout memory O(carry); turning it off
+            # removes the backward's forward replay (+12% measured on v5e)
+            # at the cost of a much larger XLA program (~10x compile time).
+            remat=remat,
         )
         self.model = Seq2Seq(
             deterministic=False,
