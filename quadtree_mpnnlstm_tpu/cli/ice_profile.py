@@ -24,6 +24,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--trace-dir", default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--trace-summary", action="store_true",
+                        help="after tracing, print the top ops by "
+                        "accumulated device time (eval/trace_summary.py)")
     parser.add_argument("--thresh", type=float, default=0.15)
     args = parser.parse_args(argv)
 
@@ -70,6 +73,12 @@ def main(argv=None):
     if args.trace_dir:
         jax.profiler.stop_trace()
         print(f"[trace] written to {args.trace_dir}")
+        if args.trace_summary:
+            from quadtree_mpnnlstm_tpu.eval.trace_summary import (
+                print_trace_summary,
+            )
+
+            print_trace_summary(args.trace_dir)
     n = len(loader) * args.epochs
     print(f"[phase] train: {train_t:.2f}s total, "
           f"{train_t / max(n, 1):.3f}s/step "

@@ -89,3 +89,27 @@ def test_seasonal_variance_and_mesh_design():
     table = sweep_meshes(var, None, thresholds=[1e-6, 0.02, 1e9],
                          max_grid_size=8)
     assert table[1e-6] >= table[0.02] >= table[1e9]
+
+
+def test_trace_summary(tmp_path):
+    """eval/trace_summary aggregates per-op durations from a jax.profiler
+    xplane capture (profiling subsystem; the reference only has cProfile,
+    ref ice_profile.py:141-159)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadtree_mpnnlstm_tpu.eval.trace_summary import summarize_trace
+
+    @jax.jit
+    def f(x):
+        return (x @ x.T).sum()
+
+    x = jnp.ones((128, 128))
+    float(f(x))  # compile outside the trace
+    jax.profiler.start_trace(str(tmp_path))
+    float(f(x))
+    jax.profiler.stop_trace()
+
+    rows = summarize_trace(str(tmp_path), top=10)
+    assert rows and all(r.total_ms >= 0 for r in rows)
+    assert all(isinstance(r.count, int) and r.count >= 1 for r in rows)
