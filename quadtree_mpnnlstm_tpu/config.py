@@ -94,6 +94,12 @@ class GraphConfig:
     # Raise at runtime (via jax.debug callback) when node/edge/window
     # capacity overflows would silently drop mesh content.
     debug_overflow: bool = False
+    # Keep the edge list / geometry on built graphs. With the pallas
+    # aggregation, GCN/Cheb models never read them after the Â blocks are
+    # built, and carrying ~10 edge arrays through the remeshing scan costs
+    # per-iteration DMA latency — the predictor sets this False when safe
+    # (attention convs and the XLA/CSR backends still need them).
+    carry_edges: bool = True
 
     def __post_init__(self):
         assert _is_power_of_two(self.max_grid_size), (

@@ -1,4 +1,8 @@
-from quadtree_mpnnlstm_tpu.data.loader import ArrayDataset, DataLoader
+from quadtree_mpnnlstm_tpu.data.loader import (
+    ArrayDataset,
+    DataLoader,
+    prefetch_to_device,
+)
 from quadtree_mpnnlstm_tpu.data.moving_mnist import (
     ModMovingMNIST,
     ModMovingMNISTDataset,
@@ -7,6 +11,7 @@ from quadtree_mpnnlstm_tpu.data.moving_mnist import (
 __all__ = [
     "ArrayDataset",
     "DataLoader",
+    "prefetch_to_device",
     "ModMovingMNIST",
     "ModMovingMNISTDataset",
 ]

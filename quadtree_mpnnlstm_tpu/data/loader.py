@@ -1,9 +1,12 @@
 """Minimal host-side dataset/loader (replaces torch DataLoader usage in the
 reference, e.g. ice_exp.py:137-139). Yields numpy batches; all device work
-happens inside the jitted train/predict steps."""
+happens inside the jitted train/predict steps. ``prefetch_to_device``
+overlaps host batch slicing + H2D transfer with device compute (the role
+torch DataLoader workers play for the reference)."""
 
 from __future__ import annotations
 
+import collections
 from typing import Iterator, Sequence, Tuple
 
 import numpy as np
@@ -64,3 +67,35 @@ class DataLoader:
                 self.dataset.y[idx],
                 self.dataset.launch_dates[idx],
             )
+
+
+def prefetch_to_device(loader, size: int = 2):
+    """Keep ``size`` (x, y) batches resident on device ahead of the consumer.
+
+    ``jax.device_put`` is asynchronous, so enqueueing the next batch starts
+    its host slicing + H2D copy while the consumer's jitted step is still
+    executing — the overlap torch's DataLoader workers give the reference.
+    launch dates stay host-side numpy (the climatology lookup is host math,
+    train/predictor.py _clim_batch).
+    """
+    import jax
+
+    queue = collections.deque()
+    it = iter(loader)
+
+    def enqueue():
+        x, y, launch = next(it)
+        queue.append((jax.device_put(x), jax.device_put(y), launch))
+
+    try:
+        for _ in range(max(size, 1)):
+            enqueue()
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            enqueue()
+        except StopIteration:
+            pass
+        yield out

@@ -119,6 +119,15 @@ def _assemble(
             agg=("pallas", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
         )
     graph = graph.replace(overflow=overflow)
+    if not cfg.carry_edges:
+        # pallas-aggregation GCN/Cheb models never read the edge list after
+        # the Â blocks exist; dropping it removes ~10 per-iteration DMA
+        # copies from the remeshing scan carry (see GraphConfig.carry_edges)
+        assert cfg.aggregation == "pallas", "carry_edges=False needs blocks"
+        graph = graph.replace(
+            edge_src=None, edge_dst=None, edge_valid=None, edge_attr=None,
+            src_perm=None, src_sorted=None, sym_coeff=None, node_xy=None,
+        )
     if cfg.debug_overflow:
         jax.debug.callback(_raise_on_overflow, overflow, ordered=False)
     return graph, data

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from quadtree_mpnnlstm_tpu.config import GraphConfig, ModelConfig
+from quadtree_mpnnlstm_tpu.data.loader import prefetch_to_device
 from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
 from quadtree_mpnnlstm_tpu.graph.state import unflatten
 from quadtree_mpnnlstm_tpu.models.seq2seq import Seq2Seq
@@ -161,6 +162,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         assert not mk, f"unknown model_kwargs: {sorted(mk)}"
 
         gk = dict(graph_kwargs or {})
+        carry_edges_explicit = "carry_edges" in gk
         self.gcfg = GraphConfig(
             image_shape=tuple(image_shape),
             # ref image_to_graph default base grid (graph_functions.py:590)
@@ -170,6 +172,15 @@ class NextFramePredictorS2S(NextFramePredictor):
             use_edge_attrs=self.cfg.uses_edge_attrs,
             **gk,
         )
+        if (
+            not carry_edges_explicit
+            and self.gcfg.aggregation == "pallas"
+            and self.gcfg.max_degree == 0
+            and self.cfg.convolution_type in ("GCNConv", "ChebConv")
+        ):
+            # a_mul rides the Â blocks; the edge list is dead weight in the
+            # remeshing scan carry (GraphConfig.carry_edges)
+            self.gcfg = self.gcfg.replace(carry_edges=False)
 
         common = dict(
             cfg=self.cfg,
@@ -506,7 +517,7 @@ class NextFramePredictorS2S(NextFramePredictor):
             self._set_lr()
             running, steps = 0.0, 0
             epoch_overflow = 0
-            for x, y, launch in loader_train:
+            for x, y, launch in prefetch_to_device(loader_train):
                 if self.dp_devices > 1 and x.shape[0] % self.dp_devices:
                     raise ValueError(
                         f"global batch {x.shape[0]} not divisible by "
@@ -538,7 +549,7 @@ class NextFramePredictorS2S(NextFramePredictor):
                 batch_step += 1
 
             running_test, steps_test = 0.0, 0
-            for x, y, launch in loader_test:
+            for x, y, launch in prefetch_to_device(loader_test):
                 clim = self._clim_batch(climatology, launch)
                 _, loss = eval_step(
                     self.params, jnp.asarray(x), jnp.asarray(y),

@@ -118,3 +118,34 @@ def test_heatmaps_and_report(tmp_path):
     out = full_report(y_hat, y_true, lds, mask, clim, str(tmp_path))
     assert (tmp_path / "heatmap.csv").exists()
     assert np.allclose(out[filled], heat[filled])
+
+
+def test_prefetch_to_device_equivalence():
+    """prefetch_to_device yields the same batches in the same order, with
+    x/y on device and launch dates left as host numpy."""
+    import jax
+    import numpy as np
+
+    from quadtree_mpnnlstm_tpu.data import (
+        ArrayDataset,
+        DataLoader,
+        prefetch_to_device,
+    )
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(
+        rng.random((10, 2, 4, 4, 1)).astype(np.float32),
+        rng.random((10, 3, 4, 4, 1)).astype(np.float32),
+        np.arange(10),
+    )
+    plain = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3))
+    pref = list(
+        prefetch_to_device(DataLoader(ds, batch_size=4, shuffle=True, seed=3))
+    )
+    assert len(plain) == len(pref)
+    for (x0, y0, l0), (x1, y1, l1) in zip(plain, pref):
+        assert isinstance(x1, jax.Array) and isinstance(y1, jax.Array)
+        assert isinstance(l1, np.ndarray)
+        np.testing.assert_array_equal(x0, np.asarray(x1))
+        np.testing.assert_array_equal(y0, np.asarray(y1))
+        np.testing.assert_array_equal(l0, l1)

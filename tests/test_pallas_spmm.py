@@ -169,3 +169,44 @@ def test_overflow_surfaces_through_train_step():
                             None, jax.random.PRNGKey(0))
         ovf = int(aux["mesh_overflow"])
         assert (ovf > 0) == expect_overflow, (n_max, e_max, ovf)
+
+
+def test_slim_carry_edges_training():
+    """With the pallas backend and GCN/Cheb convs, the predictor drops the
+    edge list from built graphs (GraphConfig.carry_edges=False) — the Â
+    blocks carry the adjacency; a train step still runs end-to-end."""
+    import jax
+    from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+    shape = (16, 16)
+    pred = NextFramePredictorS2S(
+        image_shape=shape, thresh=0.1, experiment_name="slim",
+        decompose=True, input_features=1, input_timesteps=2,
+        output_timesteps=2,
+        model_kwargs=dict(hidden_size=4, dropout=0.0, n_layers=1,
+                          n_conv_layers=1, convolution_type="ChebConv"),
+        graph_kwargs=dict(max_grid_size=4, aggregation="pallas",
+                          agg_nt=128, agg_eb=1024, agg_sw=256),
+    )
+    assert pred.gcfg.carry_edges is False
+    from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+    from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+    rng = np.random.default_rng(0)
+    img = add_positional_encoding(
+        jnp.asarray(rng.random((1, *shape, 1)).astype(np.float32))
+    )
+    g, _ = image_to_graph(img, pred.gcfg)
+    assert g.edge_src is None and g.sym_coeff is None
+    assert g.agg_meta is not None
+
+    pred.initiate_training(lr=0.01, lr_decay=0.95)
+    step = pred._get_train_step(False, 0)
+    x = jnp.asarray(rng.random((2, 2, *shape, 1)).astype(np.float32))
+    y = jnp.asarray(rng.random((2, 2, *shape, 1)).astype(np.float32))
+    clim = jnp.zeros((2, 2, *shape, 1))
+    m = jnp.zeros(shape, bool)
+    _, _, loss, aux = step(pred.params, pred.opt_state, x, y, clim, m, m,
+                           None, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert int(aux["mesh_overflow"]) == 0
