@@ -155,9 +155,12 @@ def main():
                     "— the production TPU mode; f32 master params; MSE "
                     "parity vs the torch reference is proven in f32, "
                     "PARITY.json)")
-    ap.add_argument("--no-remat", action="store_true",
-                    help="disable per-step remat: +12%% throughput, ~10x "
-                    "compile time (use with a warm compilation cache)")
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "dots", "none"],
+                    help="scan-step remat mode: full=replay all (default, "
+                    "fast compile; dots/none showed no reliable bench win "
+                    "over full on this workload — none is +12%% only in "
+                    "isolated step timing, at ~8x compile)")
     ap.add_argument("--full", action="store_true",
                     help="sweep batches/backends, write BENCH_DETAIL.json")
     ap.add_argument("--measure-baseline", action="store_true",
@@ -202,9 +205,9 @@ def main():
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
     else:
+        remat = {"full": True, "none": False}.get(args.remat, args.remat)
         fps = measure(args.batch, args.agg, args.steps,
-                      devices=args.devices, dtype=args.dtype,
-                      remat=not args.no_remat)
+                      devices=args.devices, dtype=args.dtype, remat=remat)
 
     print(
         json.dumps(

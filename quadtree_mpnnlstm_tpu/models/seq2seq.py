@@ -36,7 +36,7 @@ training and another for inference; they share the same parameter pytree.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -398,7 +398,13 @@ class Seq2Seq(nn.Module):
     deterministic: bool = True
     teacher_forcing_ratio: float = 0.0
     use_climatology: bool = False
-    remat: bool = True  # rematerialise each scan step in the backward pass
+    # Rematerialisation of scan steps in the backward pass:
+    #   True/"full" — replay the whole step (smallest program, ~90 s compile)
+    #   "dots"      — save matmul outputs, replay elementwise
+    #                 (jax.checkpoint_policies.dots_saveable; +5% measured,
+    #                 ~2.5x compile)
+    #   False/"none" — store everything (+12% measured, ~8x compile)
+    remat: Any = True
 
     def setup(self):
         cfg, gcfg = self.cfg, self.gcfg
@@ -413,6 +419,13 @@ class Seq2Seq(nn.Module):
             # Per-step remat keeps rollout memory O(carry) instead of
             # O(T × all conv residuals) — the lax.scan analogue of the
             # reference's truncated-BPTT memory workaround
+            if self.remat == "dots":
+                return nn.remat(
+                    cls, prevent_cse=False,
+                    policy=jax.checkpoint_policies.dots_saveable,
+                )
+            if self.remat in (False, "none"):
+                return cls
             # (ref mpnnlstm.py:281-315; SURVEY.md §7.5 "jax.remat").
             return nn.remat(cls, prevent_cse=False) if self.remat else cls
 
