@@ -7,7 +7,7 @@ torch DataLoader workers play for the reference)."""
 from __future__ import annotations
 
 import collections
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ NaN-free even in padded lanes, and shape-static so they can live inside
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

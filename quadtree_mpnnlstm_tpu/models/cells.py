@@ -23,7 +23,7 @@ vmapped conv with a leading gate axis (params stacked on axis 0).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

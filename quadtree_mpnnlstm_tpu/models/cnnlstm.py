@@ -22,7 +22,7 @@ uses y[t-1] for t>0, ref :204-210).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,14 +35,19 @@ class CNNEncoder(nn.Module):
     hidden_size: int
     kernel_size: int = 3
     dropout: float = 0.1
+    dtype: Any = None  # compute dtype (bf16 mixed precision when set)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         k = (self.kernel_size, self.kernel_size)
         for i in range(3):
-            x = nn.Conv(self.hidden_size, k, padding="SAME", name=f"conv{i+1}")(x)
+            x = nn.Conv(self.hidden_size, k, padding="SAME",
+                        dtype=self.dtype, name=f"conv{i+1}")(x)
             x = nn.BatchNorm(
-                use_running_average=deterministic, name=f"bn{i+1}"
+                use_running_average=deterministic, dtype=self.dtype,
+                name=f"bn{i+1}"
             )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -56,18 +61,24 @@ class CNNDecoder(nn.Module):
     output_channels: int = 1
     kernel_size: int = 3
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         k = (self.kernel_size, self.kernel_size)
         for i in range(2):
-            x = nn.Conv(self.hidden_size, k, padding="SAME", name=f"conv{i+1}")(x)
+            x = nn.Conv(self.hidden_size, k, padding="SAME",
+                        dtype=self.dtype, name=f"conv{i+1}")(x)
             x = nn.BatchNorm(
-                use_running_average=deterministic, name=f"bn{i+1}"
+                use_running_average=deterministic, dtype=self.dtype,
+                name=f"bn{i+1}"
             )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Conv(self.output_channels, k, padding="SAME", name="conv3")(x)
+        return nn.Conv(self.output_channels, k, padding="SAME",
+                       dtype=self.dtype, name="conv3")(x)
 
 
 class _PositionLSTM(nn.Module):
@@ -75,6 +86,7 @@ class _PositionLSTM(nn.Module):
 
     hidden_size: int
     n_layers: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, seq, carry=None):
@@ -83,11 +95,13 @@ class _PositionLSTM(nn.Module):
         n = seq.shape[1]
         outs = seq
         hs, cs = [], []
+        state_dt = seq.dtype if self.dtype is None else self.dtype
         for layer in range(self.n_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm{layer}")
+            cell = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype,
+                                        name=f"lstm{layer}")
             if carry is None:
-                c0 = jnp.zeros((n, self.hidden_size))
-                h0 = jnp.zeros((n, self.hidden_size))
+                c0 = jnp.zeros((n, self.hidden_size), state_dt)
+                h0 = jnp.zeros((n, self.hidden_size), state_dt)
             else:
                 h0, c0 = carry[0][layer], carry[1][layer]
             scan = nn.scan(
@@ -112,22 +126,25 @@ class CNNLSTM(nn.Module):
     n_layers: int = 2
     dropout: float = 0.1
     kernel_size: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         """x: (T_in, B, rows, cols, C) → ((B, rows, cols, out), (h, c))."""
         t_in, b, rows, cols, _ = x.shape
         enc = CNNEncoder(self.hidden_size, self.kernel_size, self.dropout,
-                         name="encoder")
+                         dtype=self.dtype, name="encoder")
         feats = jnp.stack(
             [enc(x[t], deterministic) for t in range(t_in)]
         )  # (T, B, r, c, hid)
         seq = feats.reshape(t_in, b * rows * cols, self.hidden_size)
-        outs, _ = _PositionLSTM(self.hidden_size, self.n_layers, name="lstm")(seq)
+        outs, _ = _PositionLSTM(self.hidden_size, self.n_layers,
+                                dtype=self.dtype, name="lstm")(seq)
         last = outs[-1].reshape(b, rows, cols, self.hidden_size)
         dec = CNNDecoder(self.hidden_size, self.output_features,
-                         self.kernel_size, self.dropout, name="decoder")
-        return nn.sigmoid(dec(last, deterministic))
+                         self.kernel_size, self.dropout, dtype=self.dtype,
+                         name="decoder")
+        return nn.sigmoid(dec(last, deterministic)).astype(jnp.float32)
 
 
 class CNNLSTMSeq2Seq(nn.Module):
@@ -144,6 +161,7 @@ class CNNLSTMSeq2Seq(nn.Module):
     binary: bool = False
     deterministic: bool = True
     teacher_forcing_ratio: float = 0.5  # ref :355 trains with 0.5
+    dtype: Any = None  # compute dtype (bf16 mixed precision when set)
 
     @nn.compact
     def __call__(
@@ -158,13 +176,14 @@ class CNNLSTMSeq2Seq(nn.Module):
         b, t_in, rows, cols, _ = x.shape
         n_pos = b * rows * cols
         enc = CNNEncoder(self.hidden_size, self.kernel_size, self.dropout,
-                         name="encoder")
+                         dtype=self.dtype, name="encoder")
         enc_lstm = _PositionLSTM(self.hidden_size, self.n_layers,
-                                 name="encoder_lstm")
+                                 dtype=self.dtype, name="encoder_lstm")
         dec_lstm = _PositionLSTM(self.hidden_size, self.n_layers,
-                                 name="decoder_lstm")
+                                 dtype=self.dtype, name="decoder_lstm")
         dec = CNNDecoder(self.hidden_size, self.output_features,
-                         self.kernel_size, self.dropout, name="decoder")
+                         self.kernel_size, self.dropout, dtype=self.dtype,
+                         name="decoder")
 
         # ---- encoder
         feats = jnp.stack(
@@ -194,4 +213,4 @@ class CNNLSTMSeq2Seq(nn.Module):
         y_hat = jnp.stack(outputs, axis=1)  # (B, T_out, r, c, out)
         if mask is not None:
             y_hat = jnp.where(mask.astype(bool)[None, None, :, :, None], 0.0, y_hat)
-        return y_hat
+        return y_hat.astype(jnp.float32)

@@ -25,7 +25,7 @@ tests/test_fused.py by transplanting weights.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

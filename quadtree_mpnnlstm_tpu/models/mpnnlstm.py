@@ -12,7 +12,7 @@ Parity targets (ref model/model.py):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ class MPNNLSTM(nn.Module):
     input_timesteps: int = 3
     output_features: int = 1
     lstm_layers: int = 4
+    dtype: Any = None  # compute dtype (bf16 mixed precision when set)
 
     @nn.compact
     def __call__(
@@ -39,10 +40,14 @@ class MPNNLSTM(nn.Module):
         graph: GraphTensors,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         t_in, n, _ = x.shape
-        convs = [GCNConv(self.hidden_size, name=f"convolution{i+1}")
+        convs = [GCNConv(self.hidden_size, name=f"convolution{i+1}",
+                         dtype=self.dtype)
                  for i in range(3)]
-        norms = [nn.LayerNorm(epsilon=1e-5, name=f"bn{i+1}") for i in range(3)]
+        norms = [nn.LayerNorm(epsilon=1e-5, name=f"bn{i+1}",
+                              dtype=self.dtype) for i in range(3)]
         drop = nn.Dropout(self.dropout)
 
         feats = []
@@ -58,7 +63,8 @@ class MPNNLSTM(nn.Module):
         outs = seq
         h_last = None
         for layer in range(self.lstm_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm{layer}")
+            cell = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype,
+                                        name=f"lstm{layer}")
             scan = nn.scan(
                 lambda mdl, cr, xt: mdl(cr, xt),
                 variable_broadcast="params",
@@ -66,17 +72,21 @@ class MPNNLSTM(nn.Module):
                 in_axes=0,
                 out_axes=0,
             )
-            zeros = jnp.zeros((n, self.hidden_size))
+            zeros = jnp.zeros(
+                (n, self.hidden_size),
+                x.dtype if self.dtype is None else self.dtype,
+            )
             (c_f, h_f), outs = scan(cell, (zeros, zeros), outs)
             h_last = h_f
         h = nn.relu(h_last)  # last layer's final hidden state (ref :668)
 
         skip = x[:, :, 0].T  # (N, T) input value channel (ref :670)
         h = jnp.concatenate([h, skip], axis=-1)
-        h = nn.relu(nn.Dense(self.hidden_size, name="lin1")(h))
-        h = nn.Dense(self.output_features, name="lin2")(h)
+        h = nn.relu(nn.Dense(self.hidden_size, name="lin1",
+                             dtype=self.dtype)(h))
+        h = nn.Dense(self.output_features, name="lin2", dtype=self.dtype)(h)
         h = drop(h, deterministic=deterministic)
-        return nn.sigmoid(h)
+        return nn.sigmoid(h).astype(jnp.float32)
 
 
 class MPNNLSTMI(nn.Module):
@@ -87,6 +97,7 @@ class MPNNLSTMI(nn.Module):
     n_layers: int = 2
     convolution_type: str = "GCNConv"
     output_features: int = 1
+    dtype: Any = None  # compute dtype (bf16 mixed precision when set)
 
     @nn.compact
     def __call__(
@@ -95,17 +106,21 @@ class MPNNLSTMI(nn.Module):
         graph: GraphTensors,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         t_in, n, _ = x.shape
         cells = [
             GConvLSTM(
                 out_channels=self.hidden_size,
                 convolution_type=self.convolution_type,
+                dtype=self.dtype,
                 name=f"recurrent{i}",
             )
             for i in range(self.n_layers)
         ]
-        hs = [jnp.zeros((n, self.hidden_size))] * self.n_layers
-        cs = [jnp.zeros((n, self.hidden_size))] * self.n_layers
+        state_dt = x.dtype if self.dtype is None else self.dtype
+        hs = [jnp.zeros((n, self.hidden_size), state_dt)] * self.n_layers
+        cs = [jnp.zeros((n, self.hidden_size), state_dt)] * self.n_layers
         for t in range(t_in):
             _, hs[0], cs[0] = cells[0](
                 x[t], graph, hs[0], cs[0], deterministic
@@ -119,8 +134,9 @@ class MPNNLSTMI(nn.Module):
         # The reference uses BatchNorm1d without running stats (ref :735),
         # i.e. per-batch normalisation over the node axis.
         h = nn.BatchNorm(use_running_average=False, use_bias=True,
-                         use_scale=True, name="bn1")(h)
-        h = nn.relu(nn.Dense(self.hidden_size, name="lin1")(h))
-        h = nn.Dense(self.output_features, name="lin2")(h)
+                         use_scale=True, dtype=self.dtype, name="bn1")(h)
+        h = nn.relu(nn.Dense(self.hidden_size, name="lin1",
+                             dtype=self.dtype)(h))
+        h = nn.Dense(self.output_features, name="lin2", dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.sigmoid(h)
+        return nn.sigmoid(h).astype(jnp.float32)

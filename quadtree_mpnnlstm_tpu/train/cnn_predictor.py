@@ -43,6 +43,7 @@ class NextFramePredictorCNNLSTM:
         use_climatology: bool = False,
         teacher_forcing_ratio: float = 0.5,  # ref :355
         seed: int = 21,
+        compute_dtype: str = "float32",
     ):
         self.experiment_name = experiment_name
         self.image_shape = tuple(image_shape)
@@ -63,6 +64,7 @@ class NextFramePredictorCNNLSTM:
             dropout=dropout,
             kernel_size=kernel_size,
             binary=binary,
+            dtype={"float32": None, "bfloat16": jnp.bfloat16}[compute_dtype],
         )
         self.model = CNNLSTMSeq2Seq(
             deterministic=False,

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import abc
 import time
-from functools import partial
+
 from typing import Any, Dict, Optional
 
 import jax

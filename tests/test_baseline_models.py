@@ -82,3 +82,47 @@ def test_mpnnlstmi_forward():
     out, _ = model.apply(variables, data, graph, mutable=["batch_stats"])
     assert out.shape == (graph.n_max, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_baseline_models_bf16():
+    """compute dtype threads through the non-seq2seq families: outputs stay
+    f32, values agree with f32 compute to bf16 precision."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadtree_mpnnlstm_tpu.config import GraphConfig
+    from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+    from quadtree_mpnnlstm_tpu.models.cnnlstm import CNNLSTMSeq2Seq
+    from quadtree_mpnnlstm_tpu.models.mpnnlstm import MPNNLSTM
+    from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+    rng = np.random.default_rng(0)
+
+    # MPNNLSTM over a small graph
+    cfg = GraphConfig(image_shape=(8, 8), max_grid_size=4, thresh=0.5)
+    img = add_positional_encoding(
+        jnp.asarray(rng.random((2, 8, 8, 1)).astype(np.float32))
+    )
+    graph, data = image_to_graph(img, cfg)
+    m32 = MPNNLSTM(hidden_size=8, dropout=0.0, lstm_layers=1)
+    m16 = MPNNLSTM(hidden_size=8, dropout=0.0, lstm_layers=1,
+                   dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), data, graph)
+    y32 = np.asarray(m32.apply(params, data, graph))
+    y16 = np.asarray(m16.apply(params, data, graph))
+    assert y16.dtype == np.float32
+    assert np.max(np.abs(y32 - y16)) < 0.05
+
+    # CNN-LSTM seq2seq
+    x = jnp.asarray(rng.random((2, 2, 8, 8, 1)).astype(np.float32))
+    c32 = CNNLSTMSeq2Seq(input_features=1, hidden_size=8, output_timesteps=2,
+                         input_timesteps=2, n_layers=1, dropout=0.0)
+    c16 = CNNLSTMSeq2Seq(input_features=1, hidden_size=8, output_timesteps=2,
+                         input_timesteps=2, n_layers=1, dropout=0.0,
+                         dtype=jnp.bfloat16)
+    variables = c32.init(jax.random.PRNGKey(1), x)
+    z32 = np.asarray(c32.apply(variables, x, mutable=["batch_stats"])[0])
+    z16 = np.asarray(c16.apply(variables, x, mutable=["batch_stats"])[0])
+    assert z16.dtype == np.float32
+    assert np.max(np.abs(z32 - z16)) < 0.05
