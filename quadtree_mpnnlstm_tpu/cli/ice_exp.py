@@ -86,17 +86,26 @@ def synthetic_hir(shape):
     return np.abs(diag) < 0.08
 
 
-def load_hir(path: str):
+def load_hir(path: str, image_shape=None):
     """Load the shipping-corridor high-interest region (ref ice_exp.py:122).
 
     Returns a bool array (NaN → False, nonzero → True) or None with a
-    warning when the file / xarray is unavailable.
+    warning when the file / xarray is unavailable — or when its shape does
+    not match ``image_shape`` (a mismatch would otherwise surface only as
+    an opaque broadcast error deep inside the jitted graph build).
     """
     try:
         import xarray as xr
 
         band = xr.open_dataset(path)["band_data"].values
-        return np.nan_to_num(np.squeeze(band)) > 0
+        hir = np.nan_to_num(np.squeeze(band)) > 0
+        if image_shape is not None and hir.shape != tuple(image_shape):
+            print(
+                f"high-interest region shape {hir.shape} != dataset image "
+                f"shape {tuple(image_shape)}; training without it"
+            )
+            return None
+        return hir
     except (ImportError, FileNotFoundError, OSError, KeyError) as e:
         print(f"high-interest region unavailable ({e}); training without it")
         return None
@@ -234,7 +243,7 @@ def main(argv=None):
         hir = None if args.no_hir else synthetic_hir(mask.shape)
     else:
         ds, mask = load_real_dataset(args.data_glob)
-        hir = None if args.no_hir else load_hir(args.hir_path)
+        hir = None if args.no_hir else load_hir(args.hir_path, mask.shape)
     image_shape = mask.shape
 
     data_train = IceDataset(ds, training_years, month, input_timesteps,

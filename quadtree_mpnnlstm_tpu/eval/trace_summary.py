@@ -37,6 +37,30 @@ def _find_xplanes(trace_dir: str) -> List[str]:
     )
 
 
+def _import_xplane_pb2():
+    """The xplane proto has moved between TF releases (tsl vs core); try the
+    known homes in order and fail with an actionable message (lazy import —
+    TF is heavyweight and only needed for --trace-summary)."""
+    candidates = (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "xprof.pywrap.protobuf.xplane_pb2",
+    )
+    import importlib
+
+    for mod in candidates:
+        try:
+            return importlib.import_module(mod)
+        except ImportError:
+            continue
+    raise ImportError(
+        "xplane_pb2 proto not found — trace summaries need a tensorflow "
+        "(or tsl/xprof) install that ships the profiler protos; tried: "
+        + ", ".join(candidates)
+    )
+
+
 def summarize_trace(
     trace_dir: str,
     top: int = 25,
@@ -56,8 +80,7 @@ def summarize_trace(
     files = _find_xplanes(trace_dir)
     if not files:
         raise FileNotFoundError(f"no *.xplane.pb under {trace_dir}")
-    # TF ships the xplane proto; imported lazily (heavyweight)
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    xplane_pb2 = _import_xplane_pb2()
 
     totals = collections.Counter()
     counts = collections.Counter()

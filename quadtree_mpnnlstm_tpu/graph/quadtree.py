@@ -154,14 +154,20 @@ def _apply_node_budget(
     raster tail of the mesh), the budget degrades gracefully: the finest
     cells coarsen one level at a time, everywhere at once.
 
-    Mask-forced splits are preserved: masked pixels stay singletons in
-    ``pixel_nodes_from_levels`` regardless of the level map, and L*
-    selection counts only unmasked leaders (the budget is a bound on real
-    nodes).
+    Mask-forced splits are preserved: a capped block that would contain a
+    masked pixel is exempt from capping (its pixels keep their original,
+    mask-forced levels) — otherwise the block's anchor pixel could be
+    masked, no node would be emitted for it, and its unmasked pixels would
+    map to a stale or negative node id. L* selection counts the leaders of
+    the *exempted* capped map, so the budget bound accounts for the
+    mask-forced singletons it cannot coarsen; if those alone exceed the
+    budget, the floor is cap 0 with exemptions (reference parity — masks
+    always force singletons, ref graph_functions.py:215-219, :239).
     """
     rows, cols = level.shape
     g = cfg.max_grid_size
     depth = cfg.depth
+    hp, wp = cfg.padded_shape
     invalid = (
         mask.astype(bool)
         if mask is not None
@@ -170,8 +176,26 @@ def _apply_node_budget(
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
 
-    def n_nodes_at(cap: int) -> jnp.ndarray:
-        size = (g >> jnp.minimum(level, cap)).astype(jnp.int32)
+    def capped_level(cap: int) -> jnp.ndarray:
+        lv = jnp.minimum(level, cap)
+        if mask is not None and cap < depth:
+            # Exempt size-(g>>cap) aligned blocks that overlap the mask:
+            # their pixels keep the original (mask-forced) levels. This is
+            # partition-consistent — any original cell intersecting such a
+            # block is contained in it (a larger cell covering the block
+            # would overlap the mask and have been force-split already).
+            size = g >> cap
+            invp = jnp.pad(invalid, ((0, hp - rows), (0, wp - cols)))
+            ov = lax.reduce_window(
+                invp, False, jnp.logical_or, (size, size), (size, size),
+                "VALID",
+            )
+            ov_pix = jnp.repeat(jnp.repeat(ov, size, axis=0), size, axis=1)
+            lv = jnp.where(ov_pix[:rows, :cols], level, lv)
+        return lv
+
+    def n_nodes_at(lv: jnp.ndarray) -> jnp.ndarray:
+        size = (g >> lv).astype(jnp.int32)
         leader = (
             (r == jnp.bitwise_and(r, ~(size - 1)))
             & (c == jnp.bitwise_and(c, ~(size - 1)))
@@ -179,14 +203,12 @@ def _apply_node_budget(
         )
         return jnp.sum(leader.astype(jnp.int32))
 
-    counts = jnp.stack([n_nodes_at(cap) for cap in range(depth + 1)])
-    # Masked singletons are exempt from capping; count them once so the
-    # budget bounds the full node count including them.
-    n_masked_nodes = 0  # masked pixels are sentinel-labelled, not nodes
-    fits = (counts + n_masked_nodes) <= cfg.node_budget
+    levels = jnp.stack([capped_level(cap) for cap in range(depth + 1)])
+    counts = jnp.stack([n_nodes_at(levels[i]) for i in range(depth + 1)])
+    fits = counts <= cfg.node_budget
     # largest cap that fits; cap 0 (base grid) is the floor either way
     cap_star = jnp.max(jnp.where(fits, jnp.arange(depth + 1), 0))
-    return jnp.minimum(level, cap_star)
+    return jnp.take(levels, cap_star, axis=0)
 
 
 def pixel_nodes_from_levels(

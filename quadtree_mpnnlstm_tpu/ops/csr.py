@@ -56,8 +56,11 @@ def csr_segment_sum(
 ) -> jnp.ndarray:
     """Sum messages (E, ...) into (n_max, ...) by the SORTED ids ``edge_dst``
     (sentinel ``n_max`` lanes fall outside every range and are dropped).
-    Nodes with more than ``max_degree`` incoming edges are silently
-    truncated — callers must size the cap from the mesh bound."""
+    Nodes with more than ``max_degree`` incoming edges are truncated —
+    callers must size the cap from the mesh bound
+    (``GraphConfig.degree_bound``); the graph builder counts any truncated
+    edges into ``GraphTensors.overflow`` (graph/build.py) so an undersized
+    cap is loud, like every other capacity knob."""
     return _csr_sum_impl(messages, edge_dst, n_max, max_degree)
 
 

@@ -56,10 +56,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _s0_bound(np_: int, sw: int) -> int:
+    """Largest source-window start: ≥ np_ - sw (full coverage) and
+    16-aligned (Mosaic sub-32-bit dynamic-slice alignment)."""
+    return _round_up(max(np_ - sw, 0), 16)
+
+
+def _z_rows(np_: int, sw: int) -> int:
+    """Padded z row count covering every window [s0, s0 + sw)."""
+    return max(np_, _s0_bound(np_, sw) + sw)
+
+
 class SpmmWindows(NamedTuple):
     """Per-node-tile packed edge windows (pytree; cached on GraphTensors)."""
 
-    s0: jnp.ndarray       # (T, 1) int32 — source-window start (8-aligned)
+    s0: jnp.ndarray       # (T, 1) int32 — source-window start (16-aligned)
     src_rel: jnp.ndarray  # (T, EB) int32 — src − s0[t]; −1 = no edge
     dst_rel: jnp.ndarray  # (T, EB) int32 — dst − t·NT; −1 = no edge
     coeff: jnp.ndarray    # (T, EB) f32 — Â coefficient per window slot
@@ -110,9 +121,12 @@ def spmm_tile_meta(
     src_min = jnp.min(jnp.where(real, src_w, big), axis=1)
     src_max = jnp.max(jnp.where(real, src_w, -1), axis=1)
     # 16-aligned so kernel B's dynamic z-row slice is legal for bf16 inputs
-    # (bf16 packs two rows per sublane; f32 only needs 8)
+    # (bf16 packs two rows per sublane; f32 only needs 8). The clip bound is
+    # rounded UP to 16 — rounding down (advisor round-2 finding) made s0
+    # unaligned whenever np_ - sw wasn't a multiple of 16; kernel B pads z
+    # past np_ to keep the shifted top window in range (_z_rows).
     s0 = jnp.clip(
-        jnp.where(src_min == big, 0, src_min) & ~15, 0, max(np_ - sw, 0)
+        jnp.where(src_min == big, 0, src_min) & ~15, 0, _s0_bound(np_, sw)
     )
 
     src_rel = jnp.where(real, src_w - s0[:, None], -1)
@@ -260,7 +274,7 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
     np_ = t * nt
     f = z.shape[-1]
     fp = _round_up(f, 128)
-    zrows = max(np_, sw)
+    zrows = max(_z_rows(np_, sw), sw)
     z_p = jnp.zeros((zrows, fp), z.dtype).at[:n_max, :f].set(z[:n_max])
 
     # bf16 operands feed the MXU natively (f32 accumulation via

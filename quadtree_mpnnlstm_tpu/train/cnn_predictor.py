@@ -97,6 +97,11 @@ class NextFramePredictorCNNLSTM:
         return get_n_params(self.variables["params"])
 
     def initiate_training(self, lr: float, lr_decay: float):
+        from quadtree_mpnnlstm_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
         self._ensure_params()
         self.loss_func_name = "BCE" if self.binary else "MSE"
         self.loss_func = LOSSES[self.loss_func_name]

@@ -133,8 +133,10 @@ class NextFramePredictorS2S(NextFramePredictor):
 
         # Optional TrainConfig: supplies optimisation defaults for train()
         # and the model compute dtype (TrainConfig.dtype → compute_dtype).
+        # An explicitly passed ``seed`` wins over train_config.seed
+        # (advisor round-2: silent override surprised callers).
         self.train_config = train_config
-        if train_config is not None:
+        if train_config is not None and seed == 21:
             seed = train_config.seed
 
         mk = dict(model_kwargs or {})
@@ -243,6 +245,11 @@ class NextFramePredictorS2S(NextFramePredictor):
 
     def initiate_training(self, lr: float, lr_decay: float):
         """ref mpnnlstm.py:170-184 (Adam, StepLR(3, γ), loss fn, writer)."""
+        from quadtree_mpnnlstm_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()  # amortise the scan-program compiles
         self._ensure_params()
         self.loss_func_name = "BCE" if self.binary else "MSE"
         self.loss_func = LOSSES[self.loss_func_name]

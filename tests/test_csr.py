@@ -120,6 +120,27 @@ def test_quadtree_degree_within_bound():
             assert max_deg <= cfg.max_degree, (max_deg, cfg.max_degree)
 
 
+def test_csr_degree_truncation_is_loud():
+    """VERDICT round-2 item 8: an undersized max_degree must surface in the
+    overflow counter instead of silently truncating aggregation sums."""
+    shape = (16, 16)
+    rng = np.random.default_rng(6)
+    img = add_positional_encoding(
+        jnp.asarray(rng.uniform(0.3, 0.7, (1, *shape, 1)).astype(np.float32))
+    )
+    base = GraphConfig(image_shape=shape, max_grid_size=8, thresh=0.1)
+
+    g_ok, _ = image_to_graph(img, base.replace(max_degree=base.degree_bound))
+    assert int(g_ok.overflow) == 0
+
+    # pixelwise mesh has true degree 4 (interior); cap at 2 → loud overflow
+    g_bad, _ = image_to_graph(img, base.replace(max_degree=2))
+    dst = np.asarray(g_bad.edge_dst)[np.asarray(g_bad.edge_valid)]
+    expected = int(np.maximum(np.bincount(dst) - 2, 0).sum())
+    assert expected > 0
+    assert int(g_bad.overflow) >= expected
+
+
 def test_model_grads_csr_vs_scatter():
     """Full-model gradient parity: CSR graphs vs max_degree=0 fallback."""
     from quadtree_mpnnlstm_tpu.config import ModelConfig

@@ -64,6 +64,40 @@ def test_budget_coarsens_monotonically():
         assert (coarser <= finer).all()
 
 
+def test_budget_preserves_mask_forced_splits_non_aligned():
+    """Advisor repro (round 2, high): a capped block whose anchor pixel is
+    masked must not swallow unmasked pixels — mask-overlapping blocks are
+    exempt from capping, so every unmasked pixel keeps a valid node id and
+    counts partition the unmasked canvas exactly."""
+    shape = (16, 16)
+    rng = np.random.default_rng(4)
+    img = add_positional_encoding(
+        jnp.asarray(rng.uniform(0.3, 0.7, (1, *shape, 1)).astype(np.float32))
+    )
+    mask = np.zeros(shape, bool)
+    mask[0, 0] = True  # non-block-aligned: anchor pixel of every block level
+    cfg = GraphConfig(
+        image_shape=shape, max_grid_size=8, thresh=0.1, node_budget=16
+    )
+    g, _ = image_to_graph(img, cfg, mask=jnp.asarray(mask))
+    pn = np.asarray(g.pixel_node).reshape(shape)
+    n = int(g.n_nodes)
+    assert (pn[~mask] >= 0).all() and (pn[~mask] < n).all()
+    assert (pn[mask] == cfg.n_max).all()
+    assert float(np.asarray(g.counts).sum()) == float((~mask).sum())
+    assert int(g.overflow) == 0
+
+    # an interior non-aligned masked pixel exercises the same exemption
+    mask2 = np.zeros(shape, bool)
+    mask2[5, 9] = True
+    g2, _ = image_to_graph(
+        img, cfg.replace(node_budget=24), mask=jnp.asarray(mask2)
+    )
+    pn2 = np.asarray(g2.pixel_node).reshape(shape)
+    assert (pn2[~mask2] >= 0).all() and (pn2[~mask2] < int(g2.n_nodes)).all()
+    assert float(np.asarray(g2.counts).sum()) == float((~mask2).sum())
+
+
 def test_budget_counts_only_unmasked_nodes():
     img = add_positional_encoding(_field(seed=3))
     mask = np.zeros(SHAPE, bool)

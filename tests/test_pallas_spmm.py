@@ -108,6 +108,33 @@ def test_a_mul_bf16_messages():
     assert float(jnp.abs(half - full).max()) > 0  # actually quantised
 
 
+def test_s0_alignment_with_unaligned_windows():
+    """Advisor round-2 (medium): kernel B promises 16-aligned s0, but the
+    old clip bound max(np_ - sw, 0) broke that for nt/sw not multiples of
+    16. The bound is now rounded UP to 16 (z padded to cover the shifted
+    window), so every s0 stays aligned and no coverage is lost."""
+    cfg, graph, _ = _graph(shape=(16, 16), n_max=200, e_max=2048)
+    for nt, eb, sw in ((8, 64, 24), (40, 128, 40), (24, 256, 104)):
+        windows, ovf = spmm_tile_meta(
+            graph.edge_src, graph.edge_dst, graph.sym_coeff, cfg.n_max,
+            nt, eb, sw,
+        )
+        s0 = np.asarray(windows.s0)[:, 0]
+        assert (s0 % 16 == 0).all(), (nt, sw, s0)
+        if int(ovf) == 0:
+            meta = spmm_build_blocks(windows, nt, eb, sw)
+            rng = np.random.default_rng(7)
+            z = jnp.asarray(
+                rng.standard_normal((cfg.n_max, 4)).astype(np.float32)
+            )
+            out = spmm_apply(z, meta, cfg.n_max, nt, sw)
+            ref = spmm_reference(z, graph.sym_coeff, graph.edge_src,
+                                 graph.edge_dst, cfg.n_max)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5
+            )
+
+
 def test_overflow_counters_and_debug_raise():
     # ample caps → zero overflow
     _, graph, _ = _graph()
