@@ -79,6 +79,10 @@ class GraphConfig:
     #   "xla"    — gather + sorted scatter-add (XLA default path)
     #   "pallas" — fused VMEM-resident one-hot-matmul kernel
     #              (ops/pallas_spmm.py; windows sized by agg_nt/eb/sw)
+    #   "grid"   — dense shift-stencil over the raster grid (ops/grid.py);
+    #              pixelwise meshes only (thresh=-inf), identity node
+    #              mapping, no edge list — the speed-of-light path for the
+    #              reference's committed flagship config (ice_exp.py:145)
     # (the CSR gather-expansion path is selected by max_degree > 0, as
     # before). Replaces the round-1 QTM_PALLAS env toggle.
     aggregation: str = "xla"
@@ -106,6 +110,16 @@ class GraphConfig:
             f"max_grid_size must be a power of two, got {self.max_grid_size}"
         )
         assert self.condition in CONDITIONS, self.condition
+        assert self.aggregation in ("xla", "pallas", "grid"), self.aggregation
+        if self.aggregation == "grid":
+            assert self.pixelwise, (
+                "aggregation='grid' needs the pixelwise mesh (thresh=-inf); "
+                "quadtree meshes use 'xla' or 'pallas'"
+            )
+            assert self.n_max in (None, self.num_pixels), (
+                "grid aggregation uses the identity node mapping: n_max "
+                f"must be rows*cols={self.num_pixels}, got {self.n_max}"
+            )
         if self.n_max is None:
             object.__setattr__(self, "n_max", self.num_pixels)
         if self.e_max is None:

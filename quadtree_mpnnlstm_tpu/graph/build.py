@@ -100,6 +100,27 @@ def _assemble(
         jnp.maximum(n_nodes - n_max, 0).astype(jnp.int32)
         + jnp.maximum(n_edges_raw - cfg.e_max, 0).astype(jnp.int32)
     )
+    if cfg.max_degree > 0:
+        # The opt-in CSR backend (ops/csr.py) reads at most max_degree edges
+        # per node; edges ranked past the cap inside their (sorted) segment
+        # would be silently truncated — count them loudly like every other
+        # capacity knob. In/out ranks can differ on boundary meshes, so the
+        # worse side is charged.
+        e_iota = jnp.arange(cfg.e_max, dtype=jnp.int32)
+        rank_dst = e_iota - jnp.searchsorted(edge_dst, edge_dst).astype(
+            jnp.int32
+        )
+        rank_src = e_iota - jnp.searchsorted(src_sorted, src_sorted).astype(
+            jnp.int32
+        )
+        drop_dst = jnp.sum(
+            (edge_valid & (rank_dst >= cfg.max_degree)).astype(jnp.int32)
+        )
+        src_valid = src_sorted < n_max
+        drop_src = jnp.sum(
+            (src_valid & (rank_src >= cfg.max_degree)).astype(jnp.int32)
+        )
+        overflow = overflow + jnp.maximum(drop_dst, drop_src)
     if cfg.aggregation == "pallas":
         from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
             spmm_build_blocks,
@@ -195,6 +216,9 @@ def pixelwise_graph(
     n_max = cfg.n_max
     p = rows * cols
 
+    if cfg.aggregation == "grid":
+        return grid_graph(img, cfg, mask=mask)
+
     if mask is not None:
         keep = ~mask.astype(bool).reshape(-1)
     else:
@@ -208,3 +232,67 @@ def pixelwise_graph(
 
     cell_sizes = jnp.full((n_max,), cfg.resolution**2, jnp.float32)
     return _assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=False)
+
+
+def grid_graph(
+    img: jnp.ndarray,
+    cfg: GraphConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[GraphTensors, jnp.ndarray]:
+    """Pixelwise mesh in identity-mapping stencil form (``aggregation="grid"``).
+
+    Node id = raster pixel index (masked pixels invalid) — the TPU-native
+    formulation of the reference's committed flagship config
+    (ref ice_exp.py:145 ``thresh=-inf`` → graph_functions.py:506-539):
+    flatten/unflatten are reshapes, message passing is a dense shift
+    stencil (ops/grid.py), no edge list exists and nothing can overflow.
+    Semantically equivalent to :func:`pixelwise_graph` + ``aggregation=
+    "xla"`` up to node numbering (models are permutation-invariant over
+    node ids; tests/test_grid.py proves pixel-space equality).
+    """
+    from quadtree_mpnnlstm_tpu.ops.grid import dir_attrs, grid_sym_coeff
+
+    rows, cols = cfg.image_shape
+    p = rows * cols
+    t = img.shape[0]
+
+    if mask is not None:
+        keep2d = ~mask.astype(bool)
+    else:
+        keep2d = jnp.ones((rows, cols), dtype=bool)
+    keep = keep2d.reshape(-1)
+    pixel_node = jnp.where(keep, jnp.arange(p, dtype=jnp.int32), p)
+    counts = keep.astype(jnp.float32)
+    n_nodes = jnp.sum(keep).astype(jnp.int32)
+
+    attrs = jnp.asarray(dir_attrs(cfg.edges_at_corners, cfg.resolution))
+    if not cfg.use_edge_attrs:
+        attrs = attrs[:, 1:]  # distance only (ref graph_functions.py:353)
+    graph = GraphTensors(
+        pixel_node=pixel_node,
+        counts=counts,
+        n_nodes=n_nodes,
+        node_valid=keep,
+        edge_src=None,
+        edge_dst=None,
+        edge_valid=None,
+        edge_attr=None,
+        n_edges=None,
+        node_xy=None,
+        src_perm=None,
+        src_sorted=None,
+        sym_coeff=None,
+        overflow=jnp.zeros((), jnp.int32),
+        grid_coeff=grid_sym_coeff(
+            keep2d, cfg.edges_at_corners, cfg.resolution
+        ),
+        grid_attr=attrs,
+        agg=("grid", rows, cols, 8 if cfg.edges_at_corners else 4),
+        msg_dtype=cfg.message_dtype,
+        mapping_identity=True,
+    )
+
+    data = flatten(img, graph)  # (t, p, c) — reshape+mask on this mapping
+    sizes = jnp.full((t, p, 1), cfg.resolution**2, data.dtype)
+    data = jnp.concatenate([data, sizes], axis=-1)
+    return graph, data

@@ -65,6 +65,13 @@ class GraphTensors:
     # built when the config selects aggregation="pallas"
     agg_meta: jnp.ndarray = None  # (T, 2) int32
 
+    # per-direction D^{-1/2}AD^{-1/2} stencil planes for the dense grid
+    # backend (ops/grid.py); built when aggregation="grid" (pixelwise only)
+    grid_coeff: jnp.ndarray = None  # (D, rows, cols) f32
+    # per-direction constant (bearing, distance) edge attributes for the
+    # grid backend's attention convs (every direction-d edge is identical)
+    grid_attr: jnp.ndarray = None   # (D, edge_dim) f32
+
     # static per-node degree cap enabling CSR reductions; 0 disables
     max_degree: int = struct.field(pytree_node=False, default=0)
 
@@ -73,6 +80,10 @@ class GraphTensors:
 
     # static dtype for aggregation message payloads ("float32"/"bfloat16")
     msg_dtype: str = struct.field(pytree_node=False, default="float32")
+
+    # identity pixel↔node mapping (node id = raster pixel index, masked
+    # pixels invalid): flatten/unflatten become reshapes (grid backend)
+    mapping_identity: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_max(self) -> int:
@@ -106,6 +117,12 @@ def flatten(img: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
     t, rows, cols, c = img.shape
     p = rows * cols
     n_max = graph.n_max
+    if graph.mapping_identity:
+        # identity mapping: each valid node IS its pixel (counts = 1) —
+        # pooling is a reshape + mask, no segment reduction
+        flat = img.reshape(t, p, c)
+        return jnp.where(graph.node_valid[None, :, None], flat,
+                         jnp.zeros((), img.dtype))
     flat = img.reshape(t, p, c).transpose(1, 0, 2).reshape(p, t * c)
     if _use_pallas():
         summed = pallas_segment_sum(flat, graph.pixel_node, n_max)
@@ -138,6 +155,11 @@ def unflatten(
     """
     rows, cols = image_shape
     n_max = data.shape[-2]
+    if graph.mapping_identity:
+        img = jnp.where(
+            graph.node_valid[:, None], data, jnp.asarray(fill, data.dtype)
+        )
+        return img.reshape(data.shape[:-2] + (rows, cols, data.shape[-1]))
     # clamp-gather + mask instead of concatenating a sentinel row: the
     # concat materialises a full copy of ``data`` per call (measured ~10%
     # of the decoder-scan DMA time when unflattening H/C every remesh)

@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.ops.segment import (
+    _NEG_BIG,
     aggregate_to_dst,
     edge_softmax,
     edge_softmax_graph,
@@ -94,6 +95,10 @@ def a_mul(z: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
     by carrying the per-edge messages in bf16 (sums of ≤degree values,
     ~0.4% rounding; replaces the round-1 QTM_BF16_MSG env toggle).
     """
+    if graph.agg[0] == "grid":
+        from quadtree_mpnnlstm_tpu.ops.grid import grid_a_mul
+
+        return grid_a_mul(z, graph)
     if graph.agg[0] == "pallas":
         from quadtree_mpnnlstm_tpu.ops.pallas_spmm import spmm_apply
 
@@ -186,33 +191,91 @@ class TransformerConv(nn.Module):
         k = _dense(h * d, name="lin_key", dtype=self.dtype)(x).reshape(n, h, d)
         v = _dense(h * d, name="lin_value", dtype=self.dtype)(x).reshape(n, h, d)
 
-        kj = gather_src(k, graph)
-        vj = gather_src(v, graph)
-        if self.edge_dim is not None:
-            e = _dense(h * d, use_bias=False, name="lin_edge",
-                       dtype=self.dtype)(
-                graph.edge_attr.astype(x.dtype)
-            ).reshape(-1, h, d)
-            kj = kj + e
-            vj = vj + e
+        if graph.agg[0] == "grid":
+            out = self._grid_attention(x, q, k, v, graph, deterministic)
+        else:
+            kj = gather_src(k, graph)
+            vj = gather_src(v, graph)
+            if self.edge_dim is not None:
+                e = _dense(h * d, use_bias=False, name="lin_edge",
+                           dtype=self.dtype)(
+                    graph.edge_attr.astype(x.dtype)
+                ).reshape(-1, h, d)
+                kj = kj + e
+                vj = vj + e
 
-        logits = jnp.sum(gather_dst(q, graph) * kj, axis=-1) / jnp.sqrt(
-            jnp.asarray(d, x.dtype)
-        )
-        alpha = edge_softmax_graph(logits, graph)
-        # Debug side channel (ref model.py:79-93 dumps an attention map when
-        # return_attention_weights is set): collect per-edge α via flax sow;
-        # materialised only when apply() runs with mutable=["intermediates"].
-        self.sow("intermediates", "alpha", alpha)
-        alpha = nn.Dropout(rate=self.dropout)(alpha, deterministic=deterministic)
+            logits = jnp.sum(gather_dst(q, graph) * kj, axis=-1) / jnp.sqrt(
+                jnp.asarray(d, x.dtype)
+            )
+            alpha = edge_softmax_graph(logits, graph)
+            # Debug side channel (ref model.py:79-93 dumps an attention map
+            # when return_attention_weights is set): collect per-edge α via
+            # flax sow; materialised only under mutable=["intermediates"].
+            self.sow("intermediates", "alpha", alpha)
+            alpha = nn.Dropout(rate=self.dropout)(
+                alpha, deterministic=deterministic
+            )
+            out = aggregate_to_dst(alpha[..., None] * vj, graph)
 
-        out = aggregate_to_dst(alpha[..., None] * vj, graph)
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.root_weight:
             skip_dim = h * d if self.concat else d
             out = out + _dense(skip_dim, use_bias=self.use_bias,
                                name="lin_skip", dtype=self.dtype)(x)
         return out
+
+    def _grid_attention(self, x, q, k, v, graph, deterministic):
+        """Stencil attention over the identity-mapped pixelwise grid: every
+        direction's neighbour plane is a shifted copy, the edge projection
+        is D per-direction constants, and the softmax runs over the static
+        direction axis — no gathers, no scatters, XLA-autodiff throughout
+        (the TransformerConv fast path for the reference's flagship
+        pixelwise config, ref ice_exp.py:145,153-162)."""
+        from quadtree_mpnnlstm_tpu.ops.grid import (
+            neighbor_valid,
+            shift_in,
+            shifts_for,
+        )
+
+        _, rows, cols, ndirs = graph.agg
+        shifts = shifts_for(ndirs == 8)
+        h, d = self.heads, self.out_channels
+        qg = q.reshape(rows, cols, h, d)
+        kg = k.reshape(rows, cols, h, d)
+        vg = v.reshape(rows, cols, h, d)
+        if self.edge_dim is not None:
+            e_dir = _dense(h * d, use_bias=False, name="lin_edge",
+                           dtype=self.dtype)(
+                graph.grid_attr.astype(x.dtype)
+            ).reshape(ndirs, 1, 1, h, d)
+        else:
+            e_dir = jnp.zeros((ndirs, 1, 1, h, d), x.dtype)
+        valid = graph.node_valid.reshape(rows, cols)
+
+        nbv = jnp.stack(
+            [neighbor_valid(valid, dr, dc) for dr, dc in shifts]
+        )  # (D, rows, cols)
+        logits = jnp.stack(
+            [
+                jnp.sum(qg * (shift_in(kg, dr, dc) + e_dir[i]), axis=-1)
+                for i, (dr, dc) in enumerate(shifts)
+            ]
+        ) / jnp.sqrt(jnp.asarray(d, x.dtype))  # (D, rows, cols, h)
+        logits = jnp.where(nbv[..., None], logits, _NEG_BIG)
+        mx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(logits, axis=0), _NEG_BIG)
+        )
+        ex = jnp.where(nbv[..., None], jnp.exp(logits - mx[None]), 0.0)
+        alpha = safe_div(ex, jnp.sum(ex, axis=0)[None])  # (D, rows, cols, h)
+        self.sow("intermediates", "alpha", alpha)
+        alpha = nn.Dropout(rate=self.dropout)(
+            alpha, deterministic=deterministic
+        )
+        out = sum(
+            alpha[i][..., None] * (shift_in(vg, dr, dc) + e_dir[i])
+            for i, (dr, dc) in enumerate(shifts)
+        )  # (rows, cols, h, d)
+        return out.reshape(rows * cols, h, d)
 
 
 class MHTransformerConv(nn.Module):
@@ -274,6 +337,12 @@ class _GATBase(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: GraphTensors, deterministic: bool = True):
+        if graph.agg[0] == "grid":
+            raise ValueError(
+                "GAT convolutions need an edge-list mesh (self-loop "
+                "insertion); build the pixelwise graph with "
+                "aggregation='xla' instead of 'grid'"
+            )
         if self.dtype is not None:
             x = x.astype(self.dtype)
         h, d = self.heads, self.out_channels
@@ -389,6 +458,12 @@ def attention_map(intermediates, graph: GraphTensors) -> jnp.ndarray:
         raise ValueError("no sown 'alpha' — run an attention conv with "
                          "mutable=['intermediates']")
     alpha = leaves[0]  # (E, heads); first layer's map, ref model.py:83
+    if alpha.ndim == 4:
+        # grid backend: α is (D, rows, cols, heads) — per-node max over
+        # incoming directions and heads (same reduction as the edge path)
+        att = jnp.max(alpha, axis=(0, -1)).reshape(-1)
+        att = jnp.where(graph.node_valid, att, 0.0)
+        return att[:, None]
     per_edge = jnp.max(alpha, axis=-1)
     per_edge = jnp.where(graph.edge_valid, per_edge, -jnp.inf)
     att = (

@@ -1,0 +1,155 @@
+"""Grid stencil backend (aggregation="grid") equivalence tests.
+
+The grid backend re-expresses the pixelwise mesh (ref
+graph_functions.py:506-539, the committed flagship config ice_exp.py:145)
+as an identity-mapped raster with dense shift-stencil aggregation
+(ops/grid.py). Node numbering differs from the compact pixelwise path, so
+every comparison here happens in pixel space, which is numbering-invariant.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quadtree_mpnnlstm_tpu.config import NEG_INF, GraphConfig, ModelConfig
+from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
+from quadtree_mpnnlstm_tpu.graph.state import flatten, unflatten
+from quadtree_mpnnlstm_tpu.models.conv import (
+    TransformerConv,
+    a_mul,
+    attention_map,
+)
+from quadtree_mpnnlstm_tpu.models.seq2seq import Seq2Seq
+from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
+
+SHAPE = (16, 24)
+
+
+def _mask(seed=0, p=0.2):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random(SHAPE) < p)
+
+
+def _img(t=2, c=1, seed=1):
+    rng = np.random.default_rng(seed)
+    return add_positional_encoding(
+        jnp.asarray(rng.random((t, *SHAPE, c)).astype(np.float32))
+    )
+
+
+def _pair(**kw):
+    return (
+        GraphConfig(image_shape=SHAPE, thresh=NEG_INF, aggregation="xla", **kw),
+        GraphConfig(image_shape=SHAPE, thresh=NEG_INF, aggregation="grid", **kw),
+    )
+
+
+def test_grid_requires_pixelwise():
+    with pytest.raises(AssertionError):
+        GraphConfig(image_shape=SHAPE, thresh=0.1, aggregation="grid")
+
+
+def test_flatten_unflatten_identity_mapping():
+    mask = _mask()
+    img = _img()
+    _, cfg_g = _pair()
+    graph, data = image_to_graph(img, cfg_g, mask=mask)
+    assert graph.mapping_identity and graph.edge_src is None
+    # flatten is a masked reshape; round-trip recovers valid pixels exactly
+    flat = flatten(img, graph)
+    back = unflatten(flat, graph, SHAPE)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(
+        np.asarray(back)[:, ~m], np.asarray(img)[:, ~m]
+    )
+    assert (np.asarray(back)[:, m] == 0).all()
+    # the returned node data ends with the constant cell-size channel
+    assert float(jnp.max(jnp.abs(data[..., -1] - cfg_g.resolution**2))) == 0.0
+
+
+@pytest.mark.parametrize("corners", [False, True])
+@pytest.mark.parametrize("masked", [False, True])
+def test_a_mul_matches_xla_pixelwise(corners, masked):
+    mask = _mask() if masked else None
+    img = _img()
+    cfg_x, cfg_g = _pair(edges_at_corners=corners)
+    gx, _ = image_to_graph(img, cfg_x, mask=mask)
+    gg, _ = image_to_graph(img, cfg_g, mask=mask)
+
+    rng = np.random.default_rng(2)
+    z_img = jnp.asarray(rng.standard_normal((1, *SHAPE, 5)).astype(np.float32))
+    out_x = unflatten(a_mul(flatten(z_img, gx)[0], gx), gx, SHAPE)
+    out_g = unflatten(a_mul(flatten(z_img, gg)[0], gg), gg, SHAPE)
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_x), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("heads,concat", [(1, False), (2, True)])
+def test_transformer_conv_matches_xla(heads, concat):
+    mask = _mask()
+    img = _img(t=1, c=2)
+    cfg_x, cfg_g = _pair()
+    gx, dx = image_to_graph(img, cfg_x, mask=mask)
+    gg, dg = image_to_graph(img, cfg_g, mask=mask)
+
+    conv = TransformerConv(
+        out_channels=6, heads=heads, concat=concat, dropout=0.0, edge_dim=2
+    )
+    params = conv.init(jax.random.PRNGKey(0), dg[0], gg)
+    out_g = unflatten(conv.apply(params, dg[0], gg), gg, SHAPE)
+    out_x = unflatten(conv.apply(params, dx[0], gx), gx, SHAPE)
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_attention_map_grid_layout():
+    mask = _mask()
+    img = _img(t=1)
+    _, cfg_g = _pair()
+    gg, dg = image_to_graph(img, cfg_g, mask=mask)
+    conv = TransformerConv(out_channels=4, heads=1, concat=False, edge_dim=2)
+    params = conv.init(jax.random.PRNGKey(0), dg[0], gg)
+    _, inter = conv.apply(params, dg[0], gg, mutable=["intermediates"])
+    att = attention_map(inter["intermediates"], gg)
+    assert att.shape == (gg.n_max, 1)
+    a = np.asarray(att).reshape(SHAPE)
+    assert (a[np.asarray(mask)] == 0).all()
+    assert np.isfinite(a).all() and a.max() > 0
+
+
+@pytest.mark.parametrize(
+    "conv_type", ["GCNConv", "ChebConv", "TransformerConv", "MHTransformerConv"]
+)
+def test_seq2seq_grid_matches_xla(conv_type):
+    """Full pixelwise model: identical predictions from the grid stencil
+    backend and the edge-list XLA backend (same params — layers depend only
+    on feature dims, not node numbering)."""
+    mask = _mask(seed=3, p=0.15)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, *SHAPE, 1)).astype(np.float32))
+
+    cfg = ModelConfig(
+        hidden_size=6,
+        input_features=1,
+        input_timesteps=2,
+        output_timesteps=3,
+        n_layers=1,
+        n_conv_layers=2,
+        convolution_type=conv_type,
+        dropout=0.0,
+    )
+    cfg_x, cfg_g = _pair(use_edge_attrs=cfg.uses_edge_attrs)
+
+    model_g = Seq2Seq(cfg, cfg_g)
+    model_x = Seq2Seq(cfg, cfg_x)
+    params = model_g.init(jax.random.PRNGKey(0), x, mask=mask)
+    y_g = model_g.apply(params, x, mask=mask)
+    y_x = model_x.apply(params, x, mask=mask)
+    assert np.isfinite(np.asarray(y_g)).all()
+    np.testing.assert_allclose(
+        np.asarray(y_g), np.asarray(y_x), rtol=1e-4, atol=1e-4
+    )
