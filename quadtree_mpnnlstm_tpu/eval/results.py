@@ -277,3 +277,126 @@ def full_report(
             title="Blue -> Model outperforms climatology", center=0.0,
         )
     return heat
+
+
+# ------------------------------------------------- runnable report entry
+# Parity: ref ice_results.py:123-143 — glob the per-month SLURM-array
+# outputs ``valpredictions_M{month}_*`` from one results dir, concatenate
+# on launch_date, and emit the heatmap/CSV/GIF report in one command:
+#   python -m quadtree_mpnnlstm_tpu.eval.results --results-dir <dir>
+
+
+def load_predictions(path: str):
+    """(y_hat, y_true, launch_dates) from one cli.ice_exp output file —
+    netCDF (save_predictions' xarray layout) or npz fallback."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        y_hat, y_true = z["y_hat"], z["y_true"]
+        if y_hat.ndim == 4:
+            y_hat, y_true = y_hat[..., None], y_true[..., None]
+        return y_hat, y_true, z["launch_dates"]
+    import xarray as xr
+
+    ds = xr.open_dataset(path)
+    return (
+        ds["y_hat"].values[..., None],
+        ds["y_true"].values[..., None],
+        ds["launch_date"].values,
+    )
+
+
+def merge_predictions(results_dir: str, pattern: str = "valpredictions_M*"):
+    """Concatenate every month's prediction file on the launch_date axis
+    (the filesystem is the reference's inter-job communication channel,
+    SURVEY §5; ref ice_results.py:133-143)."""
+    import glob as _glob
+
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(results_dir, pattern))
+        if f.endswith((".nc", ".npz"))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no {pattern}[.nc|.npz] files under {results_dir}"
+        )
+    y_hat, y_true, lds = [], [], []
+    for f in files:
+        h, t, ld = load_predictions(f)
+        y_hat.append(h)
+        y_true.append(t)
+        lds.append(np.asarray(ld).reshape(-1))
+    return (
+        np.concatenate(y_hat, axis=0),
+        np.concatenate(y_true, axis=0),
+        np.concatenate(lds, axis=0),
+        files,
+    )
+
+
+def _load_month_losses(results_dir: str) -> Dict[int, Dict[str, list]]:
+    import glob as _glob
+    import json
+    import re
+
+    out = {}
+    for f in _glob.glob(os.path.join(results_dir, "loss_M*.json")):
+        m = re.search(r"loss_M(\d+)_", os.path.basename(f))
+        if not m:
+            continue
+        with open(f) as fh:
+            out[int(m.group(1))] = json.load(fh)
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Merge per-month valpredictions_M* files and emit the "
+        "RMSE/accuracy heatmap report (ref ice_results.py)"
+    )
+    ap.add_argument("--results-dir", required=True)
+    ap.add_argument("--pattern", default="valpredictions_M*")
+    ap.add_argument("--out-dir", default=None,
+                    help="report output dir (default <results-dir>/report)")
+    ap.add_argument("--mask", default=None,
+                    help=".npy land mask; default = NaN pixels of y_true")
+    ap.add_argument("--climatology", default=None,
+                    help=".npy (365, rows, cols) day-of-year normals")
+    ap.add_argument("--gif", action="store_true",
+                    help="render a true-vs-pred GIF of the first sample")
+    args = ap.parse_args(argv)
+
+    y_hat, y_true, lds, files = merge_predictions(
+        args.results_dir, args.pattern
+    )
+    print(f"merged {len(files)} month files -> {y_hat.shape[0]} forecasts")
+
+    if args.mask:
+        mask = np.load(args.mask).astype(bool)
+    else:
+        mask = np.isnan(y_true[0, 0, ..., 0])
+    clim = np.load(args.climatology) if args.climatology else None
+
+    out_dir = args.out_dir or os.path.join(args.results_dir, "report")
+    heat = full_report(y_hat, y_true, lds, mask, clim, out_dir)
+
+    losses = _load_month_losses(args.results_dir)
+    if losses:
+        save_loss_curves(losses, os.path.join(out_dir, "loss_curves.png"))
+    if args.gif:
+        generate_gif(
+            np.nan_to_num(y_true[0]), np.nan_to_num(y_hat[0]), mask,
+            os.path.join(out_dir, "forecast.gif"),
+        )
+    months = sorted(set(_launch_months(lds).tolist()))
+    print(
+        f"report -> {out_dir} (months {months}; mean masked RMSE "
+        f"{np.nanmean(heat):.4f})"
+    )
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,39 @@ def test_heatmaps_and_report(tmp_path):
     assert np.allclose(out[filled], heat[filled])
 
 
+def test_results_cli_merges_months(tmp_path):
+    """VERDICT round-2 item 5: one command turns per-month cli.ice_exp
+    outputs into the merged heatmap/CSV report (ref ice_results.py:123-143)."""
+    import json
+
+    from quadtree_mpnnlstm_tpu.eval.results import main as results_main
+
+    rng = np.random.default_rng(1)
+    n, t, r, c = 3, 4, 6, 8
+    for m in (3, 7):  # two synthetic "SLURM-array" month outputs
+        y_true = rng.random((n, t, r, c, 1)).astype(np.float32)
+        y_hat = y_true + rng.normal(0, 0.02, y_true.shape).astype(np.float32)
+        lds = np.asarray(
+            [
+                np.datetime64(f"2007-0{m}-{10 + i:02d}", "ns").astype(np.int64)
+                for i in range(n)
+            ]
+        )
+        np.savez(
+            tmp_path / f"valpredictions_M{m}_Y2007_Y2012_I4O{t}.npz",
+            y_hat=y_hat, y_true=y_true, launch_dates=lds,
+        )
+        with open(tmp_path / f"loss_M{m}_Y2007.json", "w") as f:
+            json.dump({"train_loss": [1.0, 0.5], "test_loss": [1.1, 0.6]}, f)
+
+    out_dir = results_main(["--results-dir", str(tmp_path)])
+    heat = np.loadtxt(f"{out_dir}/heatmap.csv", delimiter=",")
+    assert heat.shape == (12, t)
+    filled = ~np.isnan(heat)
+    assert filled[2].all() and filled[6].all()  # both months merged
+    assert (~filled[[0, 1, 3, 4, 5, 7, 8, 9, 10, 11]]).all()
+
+
 def test_prefetch_to_device_equivalence():
     """prefetch_to_device yields the same batches in the same order, with
     x/y on device and launch dates left as host numpy."""
