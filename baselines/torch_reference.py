@@ -338,3 +338,216 @@ if __name__ == "__main__":
     )
     fps = measure(ds.x, ds.y)
     print(f"torch CPU reference baseline: {fps:.4f} frames/sec")
+
+
+# ---------------------------------------------------------------------------
+# Ice-scale pixelwise baseline (the reference's committed flagship config:
+# 224x304 grid, thresh=-inf so every valid pixel is a node, TransformerConv
+# heads=1 edge_dim=2 concat=False, hidden 32, 1 layer, 3 conv layers,
+# 10->90 rollout, batch 1 — ref ice_exp.py:54-58,145,153-162). Pixelwise
+# graph building follows the reference's vectorized np.roll path
+# (graph_functions.py:471-539); message passing is gather + index_add_
+# scatter, the same algorithm PyG's kernels run.
+# ---------------------------------------------------------------------------
+
+
+def build_graph_pixelwise(mask, resolution=0.25):
+    """(labels (r*c,), n_nodes, edge_index, edge_attr(bearing, dist))."""
+    rows, cols = mask.shape
+    keep = ~mask
+    labels = np.full(rows * cols, -1, np.int64)
+    labels[keep.reshape(-1)] = np.arange(int(keep.sum()))
+    lab2 = labels.reshape(rows, cols)
+    srcs, dsts, attrs = [], [], []
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb = np.roll(lab2, (-dr, -dc), (0, 1))
+        rr = np.arange(rows)[:, None] + dr
+        cc = np.arange(cols)[None, :] + dc
+        ok = (rr >= 0) & (rr < rows) & (cc >= 0) & (cc < cols)
+        valid = ok & (lab2 >= 0) & (nb >= 0)
+        s, d = lab2[valid], nb[valid]
+        srcs.append(s)
+        dsts.append(d)
+        bearing = np.mod(
+            np.arctan2(-dc * resolution, -dr * resolution), 2 * np.pi
+        ) / (2 * np.pi)
+        dist = resolution * float(np.hypot(dr, dc))
+        a = np.empty((len(s), 2), np.float32)
+        a[:, 0] = bearing
+        a[:, 1] = dist
+        attrs.append(a)
+    edge_index = torch.tensor(
+        np.stack([np.concatenate(srcs), np.concatenate(dsts)]),
+        dtype=torch.long,
+    )
+    edge_attr = torch.from_numpy(np.concatenate(attrs))
+    return labels, int(keep.sum()), edge_index, edge_attr
+
+
+class TransformerConvT(nn.Module):
+    """UniMP TransformerConv, heads=1, edge_dim=2, concat=False — what the
+    reference's registry instantiates (ref model/model.py:51)."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.q = nn.Linear(in_ch, out_ch)
+        self.k = nn.Linear(in_ch, out_ch)
+        self.v = nn.Linear(in_ch, out_ch)
+        self.e = nn.Linear(2, out_ch, bias=False)
+        self.skip = nn.Linear(in_ch, out_ch)
+        self.d = out_ch
+
+    def forward(self, x, edge_index, edge_attr):
+        n = x.shape[0]
+        src, dst = edge_index
+        e = self.e(edge_attr)
+        kj = self.k(x)[src] + e
+        vj = self.v(x)[src] + e
+        logits = (self.q(x)[dst] * kj).sum(-1) / self.d**0.5
+        m = torch.full((n,), -1e30).scatter_reduce_(
+            0, dst, logits, "amax", include_self=True
+        )
+        ex = (logits - m[dst]).exp()
+        den = torch.zeros(n).index_add_(0, dst, ex)
+        alpha = ex / den[dst].clamp(min=1e-30)
+        out = torch.zeros(n, self.d).index_add_(0, dst, alpha[:, None] * vj)
+        return out + self.skip(x)
+
+
+class TConvStack(nn.Module):
+    def __init__(self, in_ch, out_ch, n_layers):
+        super().__init__()
+        layers = [TransformerConvT(in_ch, out_ch)]
+        layers += [TransformerConvT(out_ch, out_ch) for _ in range(n_layers - 1)]
+        self.layers = nn.ModuleList(layers)
+
+    def forward(self, x, ei, ea):
+        for l in self.layers:
+            x = l(x, ei, ea)
+        return x
+
+
+class GConvLSTMIceT(nn.Module):
+    def __init__(self, in_ch, out_ch, n_conv_layers):
+        super().__init__()
+        self.cx = nn.ModuleList(
+            [TConvStack(in_ch, out_ch, n_conv_layers) for _ in range(4)]
+        )
+        self.ch = nn.ModuleList(
+            [TConvStack(out_ch, out_ch, n_conv_layers) for _ in range(4)]
+        )
+        self.w = nn.ParameterList(
+            [nn.Parameter(torch.zeros(1, out_ch)) for _ in range(3)]
+        )
+        self.b = nn.ParameterList(
+            [nn.Parameter(torch.zeros(1, out_ch)) for _ in range(4)]
+        )
+
+    def forward(self, x, ei, ea, h, c):
+        i = torch.sigmoid(
+            self.cx[0](x, ei, ea) + self.ch[0](h, ei, ea)
+            + self.w[0] * c + self.b[0]
+        )
+        f = torch.sigmoid(
+            self.cx[1](x, ei, ea) + self.ch[1](h, ei, ea)
+            + self.w[1] * c + self.b[1]
+        )
+        t = torch.tanh(
+            self.cx[2](x, ei, ea) + self.ch[2](h, ei, ea) + self.b[2]
+        )
+        c = f * c + i * t
+        o = torch.sigmoid(
+            self.cx[3](x, ei, ea) + self.ch[3](h, ei, ea)
+            + self.w[2] * c + self.b[3]
+        )
+        return o, o * torch.tanh(c), c
+
+
+class Seq2SeqIceT(nn.Module):
+    """Flagship ice config: hidden 32, n_layers 1, enc conv stacks 3 deep,
+    decoder stacks 1 deep (ref seq2seq.py:106), climatology concat channel."""
+
+    def __init__(self, in_feats=8, hidden=32, n_conv_layers=3):
+        super().__init__()
+        self.enc = GConvLSTMIceT(in_feats, hidden, n_conv_layers)
+        self.dec = GConvLSTMIceT(4 + 0, hidden, 1)
+        self.norm_h = nn.LayerNorm(hidden)
+        self.norm_c = nn.LayerNorm(hidden)
+        self.norm_o = nn.LayerNorm(hidden)
+        self.fc1 = TransformerConvT(hidden + 1, hidden)
+        self.fc2 = TransformerConvT(hidden, 1)
+        self.hidden = hidden
+
+
+def forward_rollout_ice(model, x_np, t_out, mask):
+    """Reference-style pixelwise forward on one (T_in, r, c, 5) sample."""
+    t_in, rows, cols, nvars = x_np.shape
+    pe = posenc(rows, cols)
+    labels, n, ei, ea = build_graph_pixelwise(mask)  # per sample, ref-style
+    keep = labels >= 0
+    order = labels[keep]  # raster position -> node id (identity-sorted)
+
+    def flatten_px(img_flat):
+        out = np.empty((n,) + img_flat.shape[1:], np.float32)
+        out[order] = img_flat[keep]
+        return torch.from_numpy(out)
+
+    xpe = np.concatenate([x_np, np.repeat(pe[None], t_in, 0)], -1)
+    data = [flatten_px(xpe[t].reshape(rows * cols, -1)) for t in range(t_in)]
+    sizes = torch.full((n, 1), 0.25**2)
+    data = [torch.cat([d, sizes], -1) for d in data]
+
+    h = torch.zeros(n, model.hidden)
+    c = torch.zeros(n, model.hidden)
+    for t in range(t_in):
+        _, h, c = model.enc(data[t], ei, ea, h, c)
+        h, c = model.norm_h(h), model.norm_c(c)
+
+    nf = data[-1].shape[-1]
+    x_dec = data[-1][:, [0, nf - 3, nf - 2, nf - 1]]
+    clim = torch.zeros(n, 1)
+    outputs = []
+    for t in range(t_out):
+        out, h, c = model.dec(x_dec, ei, ea, h, c)
+        h, c = model.norm_h(h), model.norm_c(c)
+        o = torch.relu(model.norm_o(out))
+        o = torch.cat([o, clim], -1)
+        o = model.fc2(torch.relu(model.fc1(o, ei, ea)), ei, ea)
+        pred = torch.tanh(o) + x_dec[:, :1]
+        img = torch.zeros(rows * cols, 1)
+        img[keep] = pred[order]
+        outputs.append(img.reshape(rows, cols))
+        x_dec = torch.cat([pred, x_dec[:, 1:]], -1)
+    return torch.stack(outputs)
+
+
+def measure_ice(mask, n_steps=2, t_in=10, t_out=90, seed=0):
+    """frames/sec of the flagship ice-scale config, reference-style torch
+    CPU (batch 1, fwd+bwd+Adam); one warmup sample excluded."""
+    rng = np.random.default_rng(seed)
+    rows, cols = mask.shape
+    model = Seq2SeqIceT()
+    opt = torch.optim.Adam(model.parameters(), lr=0.01)
+
+    def sample():
+        x = rng.random((t_in, rows, cols, 5)).astype(np.float32)
+        y = rng.random((t_out, rows, cols, 1)).astype(np.float32)
+        return x, y
+
+    def run(x, y):
+        y_hat = forward_rollout_ice(model, x, t_out, mask)
+        yt = torch.from_numpy(y[..., 0])
+        valid = torch.from_numpy(~mask)
+        loss = torch.mean(((y_hat - yt) ** 2)[:, valid])
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 10.0)
+        opt.step()
+        return float(loss.detach())
+
+    run(*sample())  # warmup
+    st = time.perf_counter()
+    for _ in range(n_steps):
+        run(*sample())
+    dt = time.perf_counter() - st
+    return n_steps * t_out / dt

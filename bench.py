@@ -31,7 +31,8 @@ CANVAS = (64, 64)
 T_IN, T_OUT = 4, 10
 
 
-def make_predictor(batch, agg, devices=1, dtype="float32", remat=True):
+def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
+                   conv="ChebConv"):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     return NextFramePredictorS2S(
@@ -44,7 +45,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True):
         output_timesteps=T_OUT,
         model_kwargs=dict(
             hidden_size=16, dropout=0.1, n_layers=2, n_conv_layers=2,
-            convolution_type="ChebConv", compute_dtype=dtype, remat=remat,
+            convolution_type=conv, compute_dtype=dtype, remat=remat,
         ),
         # Capacity control: early-training predictions are blurry and
         # quadtree-split the WHOLE canvas (measured: 3800+ nodes / 15k+
@@ -59,7 +60,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True):
 
 
 def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
-            detail_out=None, remat=True):
+            detail_out=None, remat=True, conv="ChebConv"):
     """frames/sec for one configuration (fwd+bwd+Adam, host-synced).
 
     ``detail_out``: optional dict that receives step_ms, the compiled
@@ -76,7 +77,7 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
         canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
         velocity_noise=0.0, seed=seed,
     )
-    model = make_predictor(batch, agg, devices, dtype, remat)
+    model = make_predictor(batch, agg, devices, dtype, remat, conv)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -142,6 +143,137 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
     return n_steps * batch * T_OUT / dt
 
 
+# ---------------------------------------------------------------------------
+# Ice-scale flagship workload (ref ice_exp.py:54-58,145,153-162): the
+# reference's committed Hudson-Bay config — 224×304 grid, 10 input frames ×
+# 5 vars, 90-step decoder rollout, hidden 32, 1 layer, 3 conv layers,
+# TransformerConv, batch 1, quadtree OFF (pixelwise). submit_ice_test.sh
+# budgets 12 h on a V100 for ~15 epochs of ~540 samples = ~670 frames/min.
+# ---------------------------------------------------------------------------
+
+ICE_SHAPE = (224, 304)
+ICE_T_IN, ICE_T_OUT = 10, 90
+ICE_VARS = 5
+
+
+def ice_mask(shape=ICE_SHAPE, seed=0):
+    """Hudson-Bay-like land mask: blocky coastline blobs + an open band
+    (~1/3 of pixels masked, matching the real domain's land fraction)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.random((shape[0] // 16 + 1, shape[1] // 16 + 1)) < 0.28
+    blocks = np.kron(coarse, np.ones((16, 16), bool))[: shape[0], : shape[1]]
+    yy = np.mgrid[0 : shape[0], 0 : shape[1]][0] / shape[0]
+    return blocks | (yy < 0.06)
+
+
+def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
+                       conv="TransformerConv", budget=16384):
+    from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
+    from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+    if mesh == "pixelwise":  # committed flagship: thresh=-inf (ref :145)
+        kw = dict(thresh=float("-inf"), decompose=False,
+                  graph_kwargs=dict(aggregation="grid"))
+    elif mesh == "pixelwise-xla":  # ablation: edge-list backend
+        kw = dict(thresh=float("-inf"), decompose=False,
+                  graph_kwargs=dict(aggregation="xla"))
+    else:  # quadtree+remesh variant (ref's commented thresh 0.15, :145-150)
+        kw = dict(
+            thresh=0.15, decompose=True, transform_func=dist_from_05,
+            graph_kwargs=dict(
+                max_grid_size=8, n_max=budget, e_max=8 * budget,
+                node_budget=budget, aggregation="pallas",
+                agg_nt=128, agg_eb=2048, agg_sw=2048,
+            ),
+        )
+    return NextFramePredictorS2S(
+        image_shape=ICE_SHAPE,
+        experiment_name=f"bench_ice_{mesh}",
+        input_features=ICE_VARS,
+        input_timesteps=ICE_T_IN,
+        output_timesteps=ICE_T_OUT,
+        use_climatology=True,
+        model_kwargs=dict(
+            hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
+            rnn_type="LSTM", convolution_type=conv, compute_dtype=dtype,
+            remat=remat,
+        ),
+        **kw,
+    )
+
+
+def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
+                remat=True, conv="TransformerConv", detail_out=None,
+                seed=0):
+    """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    mask_np = ice_mask()
+    rows, cols = ICE_SHAPE
+
+    def field(n, t, c):
+        # seasonal-ish smooth field in [0,1] (channel 0 = siconc-like)
+        base = rng.random((n, t, rows // 8, cols // 8, c)).astype(np.float32)
+        up = np.kron(base, np.ones((1, 1, 8, 8, 1), np.float32))
+        up[..., mask_np, :] = 0.0
+        return up
+
+    xs = field(n_steps + 1, ICE_T_IN, ICE_VARS).repeat(batch, 0).reshape(
+        n_steps + 1, batch, ICE_T_IN, rows, cols, ICE_VARS
+    )
+    ys = field(n_steps + 1, ICE_T_OUT, 1).repeat(batch, 0).reshape(
+        n_steps + 1, batch, ICE_T_OUT, rows, cols, 1
+    )
+
+    model = make_ice_predictor(mesh, dtype, remat, conv)
+    model.initiate_training(lr=0.01, lr_decay=0.95)
+    step = model._get_train_step(False, 0)
+
+    mask = jnp.asarray(mask_np)
+    clim = jnp.zeros((batch, ICE_T_OUT, rows, cols, 1))
+    key = jax.random.PRNGKey(0)
+    params, opt_state = model.params, model.opt_state
+
+    t_compile = time.perf_counter()
+    params, opt_state, loss, aux = step(
+        params, opt_state, jnp.asarray(xs[0]), jnp.asarray(ys[0]), clim,
+        mask, None, None, key,
+    )
+    first_loss = float(loss)
+    compile_s = time.perf_counter() - t_compile
+
+    st = time.perf_counter()
+    last, max_ovf = 0.0, 0
+    for i in range(1, n_steps + 1):
+        params, opt_state, loss, aux = step(
+            params, opt_state, jnp.asarray(xs[i]), jnp.asarray(ys[i]), clim,
+            mask, None, None, key,
+        )
+        last = float(loss)
+        max_ovf = max(max_ovf, int(aux["mesh_overflow"]))
+    dt = time.perf_counter() - st
+    assert np.isfinite(last), f"non-finite ice loss ({first_loss}->{last})"
+    assert max_ovf == 0, (
+        f"mesh capacity overflow at ice scale ({max_ovf} dropped slots)"
+    )
+    fps = n_steps * batch * ICE_T_OUT / dt
+    if detail_out is not None:
+        detail_out["step_ms"] = round(dt / n_steps * 1e3, 1)
+        detail_out["compile_s"] = round(compile_s, 1)
+        detail_out["loss_first_last"] = [round(first_loss, 4), round(last, 4)]
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "peak_bytes_in_use" in stats:
+                detail_out["peak_hbm_gb"] = round(
+                    stats["peak_bytes_in_use"] / 2**30, 2
+                )
+        except Exception:
+            pass
+    return fps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -161,11 +293,51 @@ def main():
                     "fast compile; dots/none showed no reliable bench win "
                     "over full on this workload — none is +12%% only in "
                     "isolated step timing, at ~8x compile)")
+    ap.add_argument("--workload", default="mnist",
+                    choices=["mnist", "ice", "ice-quadtree", "ice-xla"],
+                    help="mnist = the 64x64 Moving-MNIST driver benchmark; "
+                    "ice = the reference's flagship Hudson-Bay-scale config "
+                    "(224x304, T_out=90, TransformerConv, pixelwise grid "
+                    "backend); ice-quadtree = same scale with quadtree+"
+                    "remesh; ice-xla = pixelwise on the edge-list backend")
+    ap.add_argument("--ice-steps", type=int, default=4)
+    ap.add_argument("--conv", default="ChebConv",
+                    help="convolution type for the mnist workload "
+                    "(ChebConv = historical bench row; TransformerConv = "
+                    "the reference's flagship conv)")
     ap.add_argument("--full", action="store_true",
                     help="sweep batches/backends, write BENCH_DETAIL.json")
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch CPU reference in-run")
     args = ap.parse_args()
+
+    from quadtree_mpnnlstm_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    cache = enable_persistent_cache()
+    if cache:
+        print(f"persistent compile cache: {cache}", file=sys.stderr)
+
+    if args.workload != "mnist":
+        mesh = {"ice": "pixelwise", "ice-quadtree": "quadtree",
+                "ice-xla": "pixelwise-xla"}[args.workload]
+        remat = {"full": True, "none": False}.get(args.remat, args.remat)
+        d = {}
+        fps = measure_ice(mesh, batch=args.batch if args.batch != 16 else 1,
+                          n_steps=args.ice_steps, dtype=args.dtype,
+                          remat=remat, detail_out=d)
+        print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "
+                      f"(224x304, T_out=90, TransformerConv, {mesh}, "
+                      f"dtype={args.dtype})",
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "detail": d,
+        }))
+        return
 
     baseline = BASELINE_FPS
     if args.measure_baseline:
@@ -207,13 +379,14 @@ def main():
     else:
         remat = {"full": True, "none": False}.get(args.remat, args.remat)
         fps = measure(args.batch, args.agg, args.steps,
-                      devices=args.devices, dtype=args.dtype, remat=remat)
+                      devices=args.devices, dtype=args.dtype, remat=remat,
+                      conv=args.conv)
 
     print(
         json.dumps(
             {
                 "metric": "frames/sec/chip, Moving-MNIST 64x64 seq2seq "
-                "training (quadtree thresh=0.1, remesh/step, ChebConv, "
+                f"training (quadtree thresh=0.1, remesh/step, {args.conv}, "
                 f"agg={args.agg if not args.full else best_key}, "
                 f"dtype={args.dtype})",
                 "value": round(fps, 3),
