@@ -92,6 +92,11 @@ class GraphConfig:
     agg_nt: int = 128   # node-tile rows per kernel step
     agg_eb: int = 1024  # edge-window slots per tile
     agg_sw: int = 512   # source-window rows per tile
+    # With aggregation="pallas": pack attention windows (ops/pallas_attn)
+    # instead of GCN/Cheb Â blocks — set (by the predictor) when the model
+    # runs attention convolutions (Transformer/MHTransformer), whose
+    # gather→edge-softmax→scatter chain the fused kernel replaces.
+    attn_windows: bool = False
     # dtype of aggregation message payloads; "bfloat16" halves the SpMM's
     # HBM traffic at ~0.4% rounding (replaces the QTM_BF16_MSG env toggle)
     message_dtype: str = "float32"

@@ -121,7 +121,19 @@ def _assemble(
             (src_valid & (rank_src >= cfg.max_degree)).astype(jnp.int32)
         )
         overflow = overflow + jnp.maximum(drop_dst, drop_src)
-    if cfg.aggregation == "pallas":
+    if cfg.aggregation == "pallas" and cfg.attn_windows:
+        from quadtree_mpnnlstm_tpu.ops.pallas_attn import attn_tile_meta
+
+        meta, window_overflow = attn_tile_meta(
+            edge_src, edge_dst, edge_attr, n_max,
+            cfg.agg_nt, cfg.agg_eb, cfg.agg_sw, n_nodes=n_nodes,
+        )
+        overflow = overflow + window_overflow
+        graph = graph.replace(
+            attn_meta=meta,
+            agg=("pallas_attn", cfg.agg_nt, cfg.agg_eb, cfg.agg_sw),
+        )
+    elif cfg.aggregation == "pallas":
         from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
             spmm_build_blocks,
             spmm_tile_meta,
@@ -141,9 +153,10 @@ def _assemble(
         )
     graph = graph.replace(overflow=overflow)
     if not cfg.carry_edges:
-        # pallas-aggregation GCN/Cheb models never read the edge list after
-        # the Â blocks exist; dropping it removes ~10 per-iteration DMA
-        # copies from the remeshing scan carry (see GraphConfig.carry_edges)
+        # pallas-aggregation models never read the edge list after the Â
+        # blocks / attention windows exist; dropping it removes ~10
+        # per-iteration DMA copies from the remeshing scan carry
+        # (see GraphConfig.carry_edges)
         assert cfg.aggregation == "pallas", "carry_edges=False needs blocks"
         graph = graph.replace(
             edge_src=None, edge_dst=None, edge_valid=None, edge_attr=None,

@@ -65,6 +65,11 @@ class GraphTensors:
     # built when the config selects aggregation="pallas"
     agg_meta: jnp.ndarray = None  # (T, 2) int32
 
+    # per-tile attention windows for the fused Pallas attention kernel
+    # (ops/pallas_attn.py); built when aggregation="pallas" and the config
+    # requests attention windows (attn_windows=True)
+    attn_meta: jnp.ndarray = None
+
     # per-direction D^{-1/2}AD^{-1/2} stencil planes for the dense grid
     # backend (ops/grid.py); built when aggregation="grid" (pixelwise only)
     grid_coeff: jnp.ndarray = None  # (D, rows, cols) f32

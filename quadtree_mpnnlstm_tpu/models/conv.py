@@ -193,6 +193,8 @@ class TransformerConv(nn.Module):
 
         if graph.agg[0] == "grid":
             out = self._grid_attention(x, q, k, v, graph, deterministic)
+        elif graph.agg[0] == "pallas_attn":
+            out = self._fused_attention(x, q, k, v, graph, deterministic)
         else:
             kj = gather_src(k, graph)
             vj = gather_src(v, graph)
@@ -223,6 +225,40 @@ class TransformerConv(nn.Module):
             out = out + _dense(skip_dim, use_bias=self.use_bias,
                                name="lin_skip", dtype=self.dtype)(x)
         return out
+
+    def _fused_attention(self, x, q, k, v, graph, deterministic):
+        """Fused Pallas attention over dst-sorted tile windows
+        (ops/pallas_attn.py) — the quadtree-mesh fast path for the
+        reference's flagship conv. α never materialises globally
+        (flash-style), so the sow debug channel is unavailable here; use
+        aggregation='xla' for attention-map dumps."""
+        from quadtree_mpnnlstm_tpu.ops.pallas_attn import AttnDims, attn_apply
+
+        _, nt, eb, sw = graph.agg
+        h, d = self.heads, self.out_channels
+        n = graph.n_max
+        a = graph.attn_meta.attr_t.shape[1]
+        if self.edge_dim is not None:
+            # applying lin_edge to the identity yields its kernel — same
+            # param tree as the edge-list path, shared checkpoints
+            we = _dense(h * d, use_bias=False, name="lin_edge",
+                        dtype=self.dtype)(jnp.eye(a, dtype=x.dtype))
+        else:
+            we = jnp.zeros((a, h * d), x.dtype)
+        t_tiles = graph.attn_meta.src_rel.shape[0]
+        if deterministic or self.dropout == 0.0:
+            keep = jnp.ones((t_tiles, eb), jnp.float32)
+        else:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.dropout, (t_tiles, eb)
+            ).astype(jnp.float32) / (1.0 - self.dropout)
+        dims = AttnDims(n, nt, eb, sw, h, d)
+        out = attn_apply(
+            q.reshape(n, h * d), k.reshape(n, h * d), v.reshape(n, h * d),
+            we, keep, graph.attn_meta, dims,
+        )
+        return out.reshape(n, h, d)
 
     def _grid_attention(self, x, q, k, v, graph, deterministic):
         """Stencil attention over the identity-mapped pixelwise grid: every

@@ -94,6 +94,30 @@ def spmm_tile_meta(
     assignments that fell outside the (eb, sw) windows — nonzero means the
     kernel would drop edges and the caps must be raised (GraphConfig.agg_*).
     """
+    geo = window_geometry(edge_src, edge_dst, n_max, nt, eb, sw)
+    # window metadata stays f32 even in bf16 compute mode: kernel A slices
+    # rows dynamically, and sub-32-bit VMEM refs need stricter (16-row)
+    # alignment Mosaic can't prove here; blocks are cast at apply time
+    cf_w = jnp.take(coeff.astype(jnp.float32), geo["flat_idx"]).reshape(
+        geo["src_rel"].shape
+    )
+    cf_w = jnp.where(geo["in_tile"], cf_w, 0.0)
+    windows = SpmmWindows(
+        s0=geo["s0"][:, None], src_rel=geo["src_rel"],
+        dst_rel=geo["dst_rel"], coeff=cf_w,
+    )
+    return windows, geo["overflow"]
+
+
+def window_geometry(edge_src, edge_dst, n_max, nt, eb, sw):
+    """Per-node-tile edge-window geometry shared by the fused SpMM and the
+    fused attention kernels (ops/pallas_attn.py).
+
+    Returns a dict with: ``s0`` (T,) 16-aligned source-window starts,
+    ``src_rel``/``dst_rel`` (T, EB) window-relative ids (−1 = dead slot),
+    ``in_tile`` (T, EB) slot validity, ``flat_idx`` (T·EB,) edge-list
+    indices of the packed slots, and ``overflow`` () counted window misses.
+    """
     e = edge_dst.shape[0]
     np_ = _round_up(n_max, nt)
     t = np_ // nt
@@ -106,10 +130,6 @@ def spmm_tile_meta(
     flat = idx.reshape(-1)
     src_w = jnp.take(edge_src, flat).reshape(t, eb).astype(jnp.int32)
     dst_w = jnp.take(edge_dst, flat).reshape(t, eb).astype(jnp.int32)
-    # window metadata stays f32 even in bf16 compute mode: kernel A slices
-    # rows dynamically, and sub-32-bit VMEM refs need stricter (16-row)
-    # alignment Mosaic can't prove here; blocks are cast at apply time
-    cf_w = jnp.take(coeff.astype(jnp.float32), flat).reshape(t, eb)
 
     in_tile = (
         (dst_w >= bases[:-1, None])
@@ -120,27 +140,31 @@ def spmm_tile_meta(
     big = jnp.int32(2**30)
     src_min = jnp.min(jnp.where(real, src_w, big), axis=1)
     src_max = jnp.max(jnp.where(real, src_w, -1), axis=1)
-    # 16-aligned so kernel B's dynamic z-row slice is legal for bf16 inputs
-    # (bf16 packs two rows per sublane; f32 only needs 8). The clip bound is
-    # rounded UP to 16 — rounding down (advisor round-2 finding) made s0
-    # unaligned whenever np_ - sw wasn't a multiple of 16; kernel B pads z
-    # past np_ to keep the shifted top window in range (_z_rows).
+    # 16-aligned so the apply kernels' dynamic z-row slices are legal for
+    # bf16 inputs (bf16 packs two rows per sublane; f32 only needs 8). The
+    # clip bound is rounded UP to 16 — rounding down (advisor round-2
+    # finding) made s0 unaligned whenever np_ - sw wasn't a multiple of
+    # 16; the apply kernels pad z past np_ to keep the shifted top window
+    # in range (_z_rows).
     s0 = jnp.clip(
         jnp.where(src_min == big, 0, src_min) & ~15, 0, _s0_bound(np_, sw)
     )
 
     src_rel = jnp.where(real, src_w - s0[:, None], -1)
     dst_rel = jnp.where(in_tile, dst_w - bases[:-1, None], -1)
-    cf_w = jnp.where(in_tile, cf_w, 0.0)
 
     edge_overflow = jnp.sum(jnp.maximum(ends - e0 - eb, 0))
     src_overflow = jnp.sum(
         jnp.maximum(src_max + 1 - (s0 + sw), 0) * (src_max >= 0)
     )
-    windows = SpmmWindows(
-        s0=s0[:, None], src_rel=src_rel, dst_rel=dst_rel, coeff=cf_w
+    return dict(
+        s0=s0,
+        src_rel=src_rel,
+        dst_rel=dst_rel,
+        in_tile=in_tile,
+        flat_idx=flat,
+        overflow=(edge_overflow + src_overflow).astype(jnp.int32),
     )
-    return windows, (edge_overflow + src_overflow).astype(jnp.int32)
 
 
 # ----------------------------------------------------- kernel A: build Â blocks

@@ -175,13 +175,23 @@ class NextFramePredictorS2S(NextFramePredictor):
             **gk,
         )
         if (
+            self.gcfg.aggregation == "pallas"
+            and self.cfg.convolution_type
+            in ("TransformerConv", "MHTransformerConv")
+        ):
+            # attention convs ride the fused attention windows
+            # (ops/pallas_attn.py), not the GCN/Cheb Â blocks
+            self.gcfg = self.gcfg.replace(attn_windows=True)
+        if (
             not carry_edges_explicit
             and self.gcfg.aggregation == "pallas"
             and self.gcfg.max_degree == 0
-            and self.cfg.convolution_type in ("GCNConv", "ChebConv")
+            and self.cfg.convolution_type
+            in ("GCNConv", "ChebConv", "TransformerConv", "MHTransformerConv")
         ):
-            # a_mul rides the Â blocks; the edge list is dead weight in the
-            # remeshing scan carry (GraphConfig.carry_edges)
+            # aggregation rides the Â blocks / attention windows; the edge
+            # list is dead weight in the remeshing scan carry
+            # (GraphConfig.carry_edges)
             self.gcfg = self.gcfg.replace(carry_edges=False)
 
         common = dict(
