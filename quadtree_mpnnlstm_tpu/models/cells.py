@@ -31,7 +31,12 @@ from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.models.conv import GraphConv
-from quadtree_mpnnlstm_tpu.models.fused import FUSABLE, FusedGateConvStack
+from quadtree_mpnnlstm_tpu.models.fused import (
+    ATTN_FUSABLE,
+    FUSABLE,
+    FusedAttnGateStack,
+    FusedGateConvStack,
+)
 
 
 def gate_conv_module(
@@ -84,6 +89,11 @@ class GConvLSTM(nn.Module):
                 self.convolution_type, d, self.n_conv_layers, 4,
                 dtype=self.dtype, name="gates",
             )(x, h, graph, deterministic)  # (4, N, d) — gates i, f, c, o
+        elif self.fused and self.convolution_type in ATTN_FUSABLE:
+            g = FusedAttnGateStack(
+                self.convolution_type, d, self.n_conv_layers, 4,
+                dtype=self.dtype, name="gates",
+            )(x, h, graph, deterministic)  # (4, N, d)
         else:
             conv_x = gate_conv_module(
                 4, self.convolution_type, d, self.n_conv_layers, "conv_x",
@@ -130,14 +140,19 @@ class GConvGRU(nn.Module):
     @nn.compact
     def __call__(self, x, graph, h, c, deterministic: bool = True):
         d = self.out_channels
-        if self.fused and self.convolution_type in FUSABLE:
-            zr = FusedGateConvStack(
+        if self.fused and self.convolution_type in (FUSABLE + ATTN_FUSABLE):
+            stack_cls = (
+                FusedGateConvStack
+                if self.convolution_type in FUSABLE
+                else FusedAttnGateStack
+            )
+            zr = stack_cls(
                 self.convolution_type, d, self.n_conv_layers, 2,
                 dtype=self.dtype, name="gates_zr",
             )(x, h, graph, deterministic)
             z = nn.sigmoid(zr[0])
             r = nn.sigmoid(zr[1])
-            cand = FusedGateConvStack(
+            cand = stack_cls(
                 self.convolution_type, d, self.n_conv_layers, 1,
                 dtype=self.dtype, name="gate_candidate",
             )(x, h * r.astype(h.dtype), graph, deterministic)[0]

@@ -169,6 +169,129 @@ class ChebConv(nn.Module):
         return out
 
 
+def attr_dim(graph: GraphTensors) -> int:
+    """Edge-attribute feature count of whichever mesh representation the
+    graph carries (edge list, grid constants, or attention windows)."""
+    if graph.edge_attr is not None:
+        return graph.edge_attr.shape[-1]
+    if graph.grid_attr is not None:
+        return graph.grid_attr.shape[-1]
+    if graph.attn_meta is not None:
+        return graph.attn_meta.attr_t.shape[1]
+    raise ValueError("graph carries no edge attributes")
+
+
+def multi_stream_attention(
+    q, k, v, we, graph: GraphTensors, heads: int, d: int,
+    dropout: float = 0.0, deterministic: bool = True, rng=None,
+):
+    """Destination-aggregated edge attention for ``heads`` independent
+    streams packed on the feature axis — the single implementation behind
+    TransformerConv on every backend, and behind the fused gate stacks
+    (models/fused.py) where the 2·G gate convolutions of a cell run as
+    extra heads of one call.
+
+    Args:
+      q/k/v: (n_max, heads·d) projected node features.
+      we: (A, heads·d) edge-projection weights, or None for no edge term.
+      rng: dropout PRNG key (None or deterministic ⇒ no dropout).
+    Returns:
+      (out (n_max, heads, d), per-edge α or None — the fused Pallas path
+      never materialises α globally).
+    """
+    n = graph.n_max
+
+    if graph.agg[0] == "pallas_attn":
+        from quadtree_mpnnlstm_tpu.ops.pallas_attn import (
+            AttnDims,
+            attn_apply,
+        )
+
+        _, nt, eb, sw = graph.agg
+        t_tiles = graph.attn_meta.src_rel.shape[0]
+        a = graph.attn_meta.attr_t.shape[1]
+        if we is None:
+            we = jnp.zeros((a, heads * d), q.dtype)
+        if deterministic or dropout == 0.0 or rng is None:
+            keep = jnp.ones((t_tiles, 1, eb), jnp.float32)
+        else:
+            keep = jax.random.bernoulli(
+                rng, 1.0 - dropout, (t_tiles, heads, eb)
+            ).astype(jnp.float32) / (1.0 - dropout)
+        dims = AttnDims(n, nt, eb, sw, heads, d)
+        out = attn_apply(q, k, v, we, keep, graph.attn_meta, dims)
+        return out.reshape(n, heads, d), None
+
+    if graph.agg[0] == "grid":
+        from quadtree_mpnnlstm_tpu.ops.grid import (
+            neighbor_valid,
+            shift_in,
+            shifts_for,
+        )
+
+        _, rows, cols, ndirs = graph.agg
+        shifts = shifts_for(ndirs == 8)
+        qg = q.reshape(rows, cols, heads, d)
+        kg = k.reshape(rows, cols, heads, d)
+        vg = v.reshape(rows, cols, heads, d)
+        if we is None:
+            e_dir = jnp.zeros((ndirs, 1, 1, heads, d), q.dtype)
+        else:
+            e_dir = (graph.grid_attr.astype(q.dtype) @ we).reshape(
+                ndirs, 1, 1, heads, d
+            )
+        valid = graph.node_valid.reshape(rows, cols)
+        nbv = jnp.stack(
+            [neighbor_valid(valid, dr, dc) for dr, dc in shifts]
+        )
+        logits = jnp.stack(
+            [
+                jnp.sum(qg * (shift_in(kg, dr, dc) + e_dir[i]), axis=-1)
+                for i, (dr, dc) in enumerate(shifts)
+            ]
+        ) / jnp.sqrt(jnp.asarray(d, q.dtype))
+        logits = jnp.where(nbv[..., None], logits, _NEG_BIG)
+        mx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(logits, axis=0), _NEG_BIG)
+        )
+        ex = jnp.where(nbv[..., None], jnp.exp(logits - mx[None]), 0.0)
+        alpha = safe_div(ex, jnp.sum(ex, axis=0)[None])
+        used = alpha
+        if rng is not None and not deterministic and dropout > 0.0:
+            keep = jax.random.bernoulli(
+                rng, 1.0 - dropout, alpha.shape
+            ).astype(alpha.dtype) / (1.0 - dropout)
+            used = alpha * keep
+        out = sum(
+            used[i][..., None] * (shift_in(vg, dr, dc) + e_dir[i])
+            for i, (dr, dc) in enumerate(shifts)
+        )
+        return out.reshape(rows * cols, heads, d), alpha
+
+    # XLA edge-list path (gather → masked edge softmax → sorted scatter)
+    qh = q.reshape(n, heads, d)
+    kh = k.reshape(n, heads, d)
+    vh = v.reshape(n, heads, d)
+    kj = gather_src(kh, graph)
+    vj = gather_src(vh, graph)
+    if we is not None:
+        e = (graph.edge_attr.astype(q.dtype) @ we).reshape(-1, heads, d)
+        kj = kj + e
+        vj = vj + e
+    logits = jnp.sum(gather_dst(qh, graph) * kj, axis=-1) / jnp.sqrt(
+        jnp.asarray(d, q.dtype)
+    )
+    alpha = edge_softmax_graph(logits, graph)
+    used = alpha
+    if rng is not None and not deterministic and dropout > 0.0:
+        keep = jax.random.bernoulli(
+            rng, 1.0 - dropout, alpha.shape
+        ).astype(alpha.dtype) / (1.0 - dropout)
+        used = alpha * keep
+    out = aggregate_to_dst(used[..., None] * vj, graph)
+    return out, alpha
+
+
 class TransformerConv(nn.Module):
     """Graph transformer (UniMP-style) attention conv (ref model.py:51)."""
 
@@ -187,37 +310,32 @@ class TransformerConv(nn.Module):
             x = x.astype(self.dtype)
         h, d = self.heads, self.out_channels
         n = graph.n_max
-        q = _dense(h * d, name="lin_query", dtype=self.dtype)(x).reshape(n, h, d)
-        k = _dense(h * d, name="lin_key", dtype=self.dtype)(x).reshape(n, h, d)
-        v = _dense(h * d, name="lin_value", dtype=self.dtype)(x).reshape(n, h, d)
-
-        if graph.agg[0] == "grid":
-            out = self._grid_attention(x, q, k, v, graph, deterministic)
-        elif graph.agg[0] == "pallas_attn":
-            out = self._fused_attention(x, q, k, v, graph, deterministic)
+        q = _dense(h * d, name="lin_query", dtype=self.dtype)(x)
+        k = _dense(h * d, name="lin_key", dtype=self.dtype)(x)
+        v = _dense(h * d, name="lin_value", dtype=self.dtype)(x)
+        if self.edge_dim is not None:
+            # applying lin_edge to the identity yields its kernel — one
+            # param tree shared by every backend (checkpoint-compatible)
+            a = attr_dim(graph)
+            we = _dense(h * d, use_bias=False, name="lin_edge",
+                        dtype=self.dtype)(jnp.eye(a, dtype=x.dtype))
         else:
-            kj = gather_src(k, graph)
-            vj = gather_src(v, graph)
-            if self.edge_dim is not None:
-                e = _dense(h * d, use_bias=False, name="lin_edge",
-                           dtype=self.dtype)(
-                    graph.edge_attr.astype(x.dtype)
-                ).reshape(-1, h, d)
-                kj = kj + e
-                vj = vj + e
-
-            logits = jnp.sum(gather_dst(q, graph) * kj, axis=-1) / jnp.sqrt(
-                jnp.asarray(d, x.dtype)
-            )
-            alpha = edge_softmax_graph(logits, graph)
-            # Debug side channel (ref model.py:79-93 dumps an attention map
-            # when return_attention_weights is set): collect per-edge α via
-            # flax sow; materialised only under mutable=["intermediates"].
+            we = None
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.dropout > 0.0)
+            else None
+        )
+        out, alpha = multi_stream_attention(
+            q, k, v, we, graph, h, d,
+            dropout=self.dropout, deterministic=deterministic, rng=rng,
+        )
+        if alpha is not None:
+            # Debug side channel (ref model.py:79-93): per-edge α via flax
+            # sow, materialised under mutable=["intermediates"]. The fused
+            # Pallas path never materialises α (flash-style) — use
+            # aggregation='xla' for attention-map dumps.
             self.sow("intermediates", "alpha", alpha)
-            alpha = nn.Dropout(rate=self.dropout)(
-                alpha, deterministic=deterministic
-            )
-            out = aggregate_to_dst(alpha[..., None] * vj, graph)
 
         out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
         if self.root_weight:
@@ -225,93 +343,6 @@ class TransformerConv(nn.Module):
             out = out + _dense(skip_dim, use_bias=self.use_bias,
                                name="lin_skip", dtype=self.dtype)(x)
         return out
-
-    def _fused_attention(self, x, q, k, v, graph, deterministic):
-        """Fused Pallas attention over dst-sorted tile windows
-        (ops/pallas_attn.py) — the quadtree-mesh fast path for the
-        reference's flagship conv. α never materialises globally
-        (flash-style), so the sow debug channel is unavailable here; use
-        aggregation='xla' for attention-map dumps."""
-        from quadtree_mpnnlstm_tpu.ops.pallas_attn import AttnDims, attn_apply
-
-        _, nt, eb, sw = graph.agg
-        h, d = self.heads, self.out_channels
-        n = graph.n_max
-        a = graph.attn_meta.attr_t.shape[1]
-        if self.edge_dim is not None:
-            # applying lin_edge to the identity yields its kernel — same
-            # param tree as the edge-list path, shared checkpoints
-            we = _dense(h * d, use_bias=False, name="lin_edge",
-                        dtype=self.dtype)(jnp.eye(a, dtype=x.dtype))
-        else:
-            we = jnp.zeros((a, h * d), x.dtype)
-        t_tiles = graph.attn_meta.src_rel.shape[0]
-        if deterministic or self.dropout == 0.0:
-            keep = jnp.ones((t_tiles, eb), jnp.float32)
-        else:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(
-                rng, 1.0 - self.dropout, (t_tiles, eb)
-            ).astype(jnp.float32) / (1.0 - self.dropout)
-        dims = AttnDims(n, nt, eb, sw, h, d)
-        out = attn_apply(
-            q.reshape(n, h * d), k.reshape(n, h * d), v.reshape(n, h * d),
-            we, keep, graph.attn_meta, dims,
-        )
-        return out.reshape(n, h, d)
-
-    def _grid_attention(self, x, q, k, v, graph, deterministic):
-        """Stencil attention over the identity-mapped pixelwise grid: every
-        direction's neighbour plane is a shifted copy, the edge projection
-        is D per-direction constants, and the softmax runs over the static
-        direction axis — no gathers, no scatters, XLA-autodiff throughout
-        (the TransformerConv fast path for the reference's flagship
-        pixelwise config, ref ice_exp.py:145,153-162)."""
-        from quadtree_mpnnlstm_tpu.ops.grid import (
-            neighbor_valid,
-            shift_in,
-            shifts_for,
-        )
-
-        _, rows, cols, ndirs = graph.agg
-        shifts = shifts_for(ndirs == 8)
-        h, d = self.heads, self.out_channels
-        qg = q.reshape(rows, cols, h, d)
-        kg = k.reshape(rows, cols, h, d)
-        vg = v.reshape(rows, cols, h, d)
-        if self.edge_dim is not None:
-            e_dir = _dense(h * d, use_bias=False, name="lin_edge",
-                           dtype=self.dtype)(
-                graph.grid_attr.astype(x.dtype)
-            ).reshape(ndirs, 1, 1, h, d)
-        else:
-            e_dir = jnp.zeros((ndirs, 1, 1, h, d), x.dtype)
-        valid = graph.node_valid.reshape(rows, cols)
-
-        nbv = jnp.stack(
-            [neighbor_valid(valid, dr, dc) for dr, dc in shifts]
-        )  # (D, rows, cols)
-        logits = jnp.stack(
-            [
-                jnp.sum(qg * (shift_in(kg, dr, dc) + e_dir[i]), axis=-1)
-                for i, (dr, dc) in enumerate(shifts)
-            ]
-        ) / jnp.sqrt(jnp.asarray(d, x.dtype))  # (D, rows, cols, h)
-        logits = jnp.where(nbv[..., None], logits, _NEG_BIG)
-        mx = jax.lax.stop_gradient(
-            jnp.maximum(jnp.max(logits, axis=0), _NEG_BIG)
-        )
-        ex = jnp.where(nbv[..., None], jnp.exp(logits - mx[None]), 0.0)
-        alpha = safe_div(ex, jnp.sum(ex, axis=0)[None])  # (D, rows, cols, h)
-        self.sow("intermediates", "alpha", alpha)
-        alpha = nn.Dropout(rate=self.dropout)(
-            alpha, deterministic=deterministic
-        )
-        out = sum(
-            alpha[i][..., None] * (shift_in(vg, dr, dc) + e_dir[i])
-            for i, (dr, dc) in enumerate(shifts)
-        )  # (rows, cols, h, d)
-        return out.reshape(rows * cols, h, d)
 
 
 class MHTransformerConv(nn.Module):

@@ -33,8 +33,14 @@ from flax import linen as nn
 
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.models.conv import a_mul as a_mul_graph
+from quadtree_mpnnlstm_tpu.models.conv import (
+    CONVOLUTION_KWARGS,
+    attr_dim,
+    multi_stream_attention,
+)
 
 FUSABLE = ("GCNConv", "ChebConv")
+ATTN_FUSABLE = ("TransformerConv", "MHTransformerConv")
 
 
 def _glorot_batched(n_batch_axes: int):
@@ -142,3 +148,142 @@ class FusedGateConvStack(nn.Module):
                 )
 
         return streams[:g] + streams[g:]  # (g, N, d)
+
+
+class FusedAttnGateStack(nn.Module):
+    """``conv_x_g(X) + conv_h_g(H)`` for ``n_gates`` gates where the conv
+    is an attention type (Transformer/MHTransformer): the 2·G per-gate
+    attention streams run as extra HEADS of ONE
+    :func:`~quadtree_mpnnlstm_tpu.models.conv.multi_stream_attention` call
+    per conv layer, instead of 2·G separate kernel launches.
+
+    Attention coefficients are data-dependent per stream, so unlike the
+    GCN/Cheb stack nothing is *shared* — but head-packing fills the MXU
+    lanes (8 streams × d=16 = 128 at the bench config) and collapses the
+    per-call dispatch/DMA overhead that dominated the vmapped per-gate
+    layout. Per-stream semantics match ``GraphConv(TransformerConv...)``
+    stacks exactly: q/k/v biases, edge projection, root-weight skip, and
+    (for MHTransformerConv) per-stream head-mixing — proven by weight
+    transplant in tests/test_fused.py.
+    """
+
+    convolution_type: str
+    out_channels: int
+    n_layers: int = 1
+    n_gates: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        h: jnp.ndarray,
+        graph: GraphTensors,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        assert self.convolution_type in ATTN_FUSABLE, self.convolution_type
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            h = h.astype(self.dtype)
+        kwargs = CONVOLUTION_KWARGS[self.convolution_type]
+        heads = kwargs.get("heads", 1)
+        drop = kwargs.get("dropout", 0.0)
+        mh = self.convolution_type == "MHTransformerConv"  # concat + mix
+        d = self.out_channels
+        g = self.n_gates
+        s = 2 * g
+        hd = heads * d
+        skip_dim = hd if mh else d
+        n = x.shape[0]
+        a = attr_dim(graph)
+
+        def p(w):
+            return w if self.dtype is None else w.astype(self.dtype)
+
+        def rng():
+            if deterministic or drop == 0.0:
+                return None
+            return self.make_rng("dropout")
+
+        def attn(q_all, k_all, v_all, we_all):
+            out, _ = multi_stream_attention(
+                q_all.reshape(n, s * hd), k_all.reshape(n, s * hd),
+                v_all.reshape(n, s * hd),
+                jnp.moveaxis(we_all, 0, 1).reshape(a, s * hd),
+                graph, s * heads, d,
+                dropout=drop, deterministic=deterministic, rng=rng(),
+            )
+            # (n, s·heads, d) → per-stream heads: concat (MH) or mean
+            out = out.reshape(n, s, heads, d)
+            if mh:
+                return out.reshape(n, s, hd)
+            return jnp.mean(out, axis=2)
+
+        fx, fh = x.shape[-1], h.shape[-1]
+        gb = _glorot_batched(1)
+        zeros = nn.initializers.zeros
+
+        # ---- layer 0: per-gate projections of X and of H
+        def proj0(name, src, f, width):
+            w = self.param(f"w_{name}_0", gb, (g, f, width))
+            b = self.param(f"b_{name}_0", zeros, (g, width))
+            return jnp.einsum("nf,gfo->ngo", src, p(w)) + p(b)[None]
+
+        q_all = jnp.concatenate(
+            [proj0("q_x", x, fx, hd), proj0("q_h", h, fh, hd)], axis=1
+        )
+        k_all = jnp.concatenate(
+            [proj0("k_x", x, fx, hd), proj0("k_h", h, fh, hd)], axis=1
+        )
+        v_all = jnp.concatenate(
+            [proj0("v_x", x, fx, hd), proj0("v_h", h, fh, hd)], axis=1
+        )
+        we_all = jnp.concatenate(
+            [
+                self.param("w_e_x_0", gb, (g, a, hd)),
+                self.param("w_e_h_0", gb, (g, a, hd)),
+            ],
+            axis=0,
+        ).astype(q_all.dtype)
+        agg = attn(q_all, k_all, v_all, we_all)  # (n, s, skip_dim)
+
+        # root-weight skip on the layer input (per stream)
+        skip = jnp.concatenate(
+            [
+                jnp.einsum(
+                    "nf,gfo->ngo", x,
+                    p(self.param("w_s_x_0", gb, (g, fx, skip_dim))),
+                ) + p(self.param("b_s_x_0", zeros, (g, skip_dim)))[None],
+                jnp.einsum(
+                    "nf,gfo->ngo", h,
+                    p(self.param("w_s_h_0", gb, (g, fh, skip_dim))),
+                ) + p(self.param("b_s_h_0", zeros, (g, skip_dim)))[None],
+            ],
+            axis=1,
+        )
+        streams = agg + skip  # (n, s, skip_dim)
+        if mh:  # per-stream head-mixing linear (ref model.py:26-37)
+            wm = self.param("w_mix_0", gb, (s, hd, d))
+            bm = self.param("b_mix_0", zeros, (s, d))
+            streams = jnp.einsum("nsf,sfo->nso", streams, p(wm)) + p(bm)[None]
+
+        # ---- deeper layers: each stream keeps its own d-wide input
+        for layer in range(1, self.n_layers):
+            def projL(name, width, layer=layer):
+                w = self.param(f"w_{name}_{layer}", gb, (s, d, width))
+                b = self.param(f"b_{name}_{layer}", zeros, (s, width))
+                return jnp.einsum("nsf,sfo->nso", streams, p(w)) + p(b)[None]
+
+            agg = attn(projL("q", hd), projL("k", hd), projL("v", hd),
+                       self.param(f"w_e_{layer}", gb, (s, a, hd)).astype(
+                           streams.dtype))
+            skip = projL("s", skip_dim)
+            nxt = agg + skip
+            if mh:
+                wm = self.param(f"w_mix_{layer}", gb, (s, hd, d))
+                bm = self.param(f"b_mix_{layer}", zeros, (s, d))
+                nxt = jnp.einsum("nsf,sfo->nso", nxt, p(wm)) + p(bm)[None]
+            streams = nxt
+
+        streams = jnp.moveaxis(streams, 1, 0)  # (s, n, d)
+        return streams[:g] + streams[g:]       # (g, n, d)

@@ -294,16 +294,25 @@ class _DecoderScanStep(nn.Module):
     def __call__(self, carry, consts, xs):
         cfg, gcfg = self.cfg, self.gcfg
         state: Seq2SeqState = carry
-        mask, hir = consts
+        mask, hir, graph_const = consts
         t, clim_t, y_t = xs
         shape = gcfg.image_shape
         remeshing = not gcfg.pixelwise
+        # Non-remeshing rollouts keep the mesh OUT of the scan carry
+        # (graph_const broadcast): carrying ~10 mesh arrays cost
+        # per-iteration DMA copies in the round-2 trace (PERF_NOTES).
+        graph = state.graph if state.graph is not None else graph_const
 
         # -- concat layers (climatology or self-value, see module docstring)
         if self.use_climatology:
-            concat = flatten(
-                clim_t[None].astype(state.x.dtype), state.graph
-            )[0]
+            if clim_t.ndim == 2:
+                # pre-flattened node-space climatology (hoisted out of the
+                # scan for fixed meshes — decode())
+                concat = clim_t.astype(state.x.dtype)
+            else:
+                concat = flatten(
+                    clim_t[None].astype(state.x.dtype), graph
+                )[0]
         elif remeshing:
             concat = state.x[:, [0]]
         else:
@@ -311,10 +320,10 @@ class _DecoderScanStep(nn.Module):
 
         dec = Decoder(cfg, name="decoder")
         output, hidden, cell = dec(
-            state.x, state.graph, concat, state.hidden, state.cell,
+            state.x, graph, concat, state.hidden, state.cell,
             self.deterministic,
         )
-        y_hat_t = unflatten(output, state.graph, shape, fill=0.0)
+        y_hat_t = unflatten(output, graph, shape, fill=0.0)
 
         # -- scheduled sampling (ref :389-390)
         if self.teacher_forcing_ratio > 0.0:
@@ -327,8 +336,8 @@ class _DecoderScanStep(nn.Module):
 
         def do_remesh(_):
             # ref seq2seq.py:434-491
-            h_img = unflatten(hidden, state.graph, shape)
-            c_img = unflatten(cell, state.graph, shape)
+            h_img = unflatten(hidden, graph, shape)
+            c_img = unflatten(cell, graph, shape)
             base = jnp.where(teacher_force, y_t.astype(y_hat_t.dtype), y_hat_t)
             frame = add_positional_encoding(base[None])
             new_graph, data = image_to_graph(
@@ -336,10 +345,10 @@ class _DecoderScanStep(nn.Module):
                 transform_func=self.transform_func,
             )
             # running max overflow across the rollout (see encoder remesh)
-            if state.graph.overflow is not None:
+            if graph.overflow is not None:
                 new_graph = new_graph.replace(
                     overflow=jnp.maximum(
-                        new_graph.overflow, state.graph.overflow
+                        new_graph.overflow, graph.overflow
                     )
                 )
             return Seq2SeqState(
@@ -355,10 +364,10 @@ class _DecoderScanStep(nn.Module):
                 teach_pe = add_positional_encoding(
                     y_t[None].astype(output.dtype)
                 )
-                teach_nodes = flatten(teach_pe, state.graph)[0]
+                teach_nodes = flatten(teach_pe, graph)[0]
                 x_teach = jnp.concatenate(
                     [teach_nodes,
-                     state.graph.counts[:, None].astype(output.dtype)],
+                     graph.counts[:, None].astype(output.dtype)],
                     axis=-1,
                 )
                 x_pred = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
@@ -543,9 +552,21 @@ class Seq2Seq(nn.Module):
             else jnp.zeros((n_steps, rows, cols, 1))
         )
         y_xs = y if y is not None else jnp.zeros((n_steps, rows, cols, 1))
+
+        remeshing = not self.gcfg.pixelwise
+        graph_const = state.graph
+        if not remeshing:
+            # fixed mesh: broadcast it instead of carrying it (cuts the
+            # per-iteration mesh DMA), and hoist the per-step climatology
+            # flatten out of the scan (one batched flatten over T_out)
+            state = state.replace(graph=None)
+            if self.use_climatology:
+                clim = flatten(clim, graph_const)
         state, y_hat = self.dec_scan(
-            state, (mask, high_interest_region), (ts, clim, y_xs)
+            state, (mask, high_interest_region, graph_const), (ts, clim, y_xs)
         )
+        if not remeshing:
+            state = state.replace(graph=graph_const)
         # predictions leave the compute_dtype region in f32 (loss/metrics)
         return state, y_hat.astype(jnp.float32)
 

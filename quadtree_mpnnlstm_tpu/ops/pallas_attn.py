@@ -104,7 +104,7 @@ def _head_selectors(heads, d, hdp, dtype=jnp.float32):
     return row_head  # (HDP, 1); rows ≥ heads*d map past every head
 
 
-def _fwd_kernel(dims: AttnDims, a: int, hdp: int):
+def _fwd_kernel(dims: AttnDims, a: int, hdp: int, kh_rows: int):
     nt, eb, sw = dims.nt, dims.eb, dims.sw
     heads, d = dims.heads, dims.d
     scale = 1.0 / float(d) ** 0.5
@@ -119,7 +119,7 @@ def _fwd_kernel(dims: AttnDims, a: int, hdp: int):
             s0 = pl.multiple_of(s0_ref[t, 0], 16)
             src = src_ref[pl.ds(t, 1), :]            # (1, EB)
             dst = dst_ref[pl.ds(t, 1), :]            # (1, EB)
-            keep = keep_ref[pl.ds(t, 1), :]          # (1, EB)
+            keepmat = keep_ref[0]                    # (KH, EB)
             attr = attr_ref[0]                       # (A, EB)
 
             e = jax.lax.dot_general(                 # (HDP, EB)
@@ -167,7 +167,8 @@ def _fwd_kernel(dims: AttnDims, a: int, hdp: int):
                 p = jnp.where(m_dst, jnp.exp(logits - mx), 0.0)
                 den = jnp.sum(p, axis=1, keepdims=True)
                 alpha = p / jnp.maximum(den, 1e-30)
-                alpha = alpha * jnp.broadcast_to(keep, (nt, eb))
+                kh = keepmat[min(h, kh_rows - 1) : min(h, kh_rows - 1) + 1, :]
+                alpha = alpha * jnp.broadcast_to(kh, (nt, eb))
                 out = out + jax.lax.dot_general(         # (NT, HDP)
                     alpha, vj * mask_h,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -182,7 +183,7 @@ def _fwd_kernel(dims: AttnDims, a: int, hdp: int):
     return kernel
 
 
-def _bwd_kernel(dims: AttnDims, a: int, hdp: int):
+def _bwd_kernel(dims: AttnDims, a: int, hdp: int, kh_rows: int):
     nt, eb, sw = dims.nt, dims.eb, dims.sw
     heads, d = dims.heads, dims.d
     scale = 1.0 / float(d) ** 0.5
@@ -198,7 +199,7 @@ def _bwd_kernel(dims: AttnDims, a: int, hdp: int):
             s0 = pl.multiple_of(s0_ref[t, 0], 16)
             src = src_ref[pl.ds(t, 1), :]
             dst = dst_ref[pl.ds(t, 1), :]
-            keep = keep_ref[pl.ds(t, 1), :]
+            keepmat = keep_ref[0]                    # (KH, EB)
             attr = attr_ref[0]
 
             # ---- recompute the forward tile (flash-style)
@@ -237,7 +238,6 @@ def _bwd_kernel(dims: AttnDims, a: int, hdp: int):
             col_head = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, hdp), 1) // d
             )
-            keep_b = jnp.broadcast_to(keep, (nt, eb))
 
             dqe = jnp.zeros((hdp, eb), f32)
             dkj = jnp.zeros((hdp, eb), f32)
@@ -255,6 +255,8 @@ def _bwd_kernel(dims: AttnDims, a: int, hdp: int):
                 p = jnp.where(m_dst, jnp.exp(logits - mx), 0.0)
                 den = jnp.sum(p, axis=1, keepdims=True)
                 alpha = p / jnp.maximum(den, 1e-30)  # pre-dropout softmax
+                kh = keepmat[min(h, kh_rows - 1) : min(h, kh_rows - 1) + 1, :]
+                keep_b = jnp.broadcast_to(kh, (nt, eb))
 
                 g_h = g_tile * (col_head == h).astype(f32)  # zero other heads
                 # d vj (head rows): Σ_n (α·keep)[n,e] g_h[n,:]
@@ -317,14 +319,15 @@ def _pad_feat(x, rows, hdp):
     return out.at[:r, :f].set(x)
 
 
-def _common_specs(dims: AttnDims, t, a, hdp, zr):
+def _common_specs(dims: AttnDims, t, a, hdp, zr, kh_rows):
     nt, eb = dims.nt, dims.eb
     return [
         pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((t, eb), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((t, eb), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((t, eb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kh_rows, eb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a, eb), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((a, hdp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -334,13 +337,23 @@ def _common_specs(dims: AttnDims, t, a, hdp, zr):
     ]
 
 
+def _norm_keep(keep, t):
+    # (T, EB) → (T, 1, EB); (T, KH, EB) passes through
+    if keep.ndim == 2:
+        keep = keep[:, None, :]
+    assert keep.shape[0] == t, keep.shape
+    return keep.astype(jnp.float32)
+
+
 def _attn_impl(q, k, v, we, keep, meta: AttnMeta, dims: AttnDims):
     t = meta.src_rel.shape[0]
     a = meta.attr_t.shape[1]
     hd = dims.heads * dims.d
-    hdp = _round_up(hd, 128)
+    hdp = _round_up(hd, 16)
     np_ = t * dims.nt
     zr = max(_z_rows(np_, dims.sw), dims.sw)
+    keep = _norm_keep(keep, t)
+    kh_rows = keep.shape[1]
 
     q_p = _pad_feat(q[: dims.n_max], np_, hdp)
     k_p = _pad_feat(k[: dims.n_max], zr, hdp)
@@ -350,15 +363,15 @@ def _attn_impl(q, k, v, we, keep, meta: AttnMeta, dims: AttnDims):
     )
 
     out = pl.pallas_call(
-        _fwd_kernel(dims, a, hdp),
+        _fwd_kernel(dims, a, hdp, kh_rows),
         grid=(t,),
-        in_specs=_common_specs(dims, t, a, hdp, zr),
+        in_specs=_common_specs(dims, t, a, hdp, zr, kh_rows),
         out_specs=pl.BlockSpec((dims.nt, hdp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, hdp), q.dtype),
         interpret=jax.default_backend() == "cpu",
     )(
         meta.s0, meta.live, meta.src_rel, meta.dst_rel,
-        keep.astype(jnp.float32), meta.attr_t, we_p, q_p, k_p, v_p,
+        keep, meta.attr_t, we_p, q_p, k_p, v_p,
     )
     return out[: dims.n_max, :hd]
 
@@ -384,10 +397,12 @@ def _attn_bwd(dims: AttnDims, res, g):
     t = meta.src_rel.shape[0]
     a = meta.attr_t.shape[1]
     hd = dims.heads * dims.d
-    hdp = _round_up(hd, 128)
+    hdp = _round_up(hd, 16)
     np_ = t * dims.nt
     zr = max(_z_rows(np_, dims.sw), dims.sw)
 
+    keep = _norm_keep(keep, t)
+    kh_rows = keep.shape[1]
     q_p = _pad_feat(q[: dims.n_max], np_, hdp)
     k_p = _pad_feat(k[: dims.n_max], zr, hdp)
     v_p = _pad_feat(v[: dims.n_max], zr, hdp)
@@ -397,9 +412,9 @@ def _attn_bwd(dims: AttnDims, res, g):
     g_p = _pad_feat(g.astype(q.dtype), np_, hdp)
 
     dq, dkw, dvw, dwe_t = pl.pallas_call(
-        _bwd_kernel(dims, a, hdp),
+        _bwd_kernel(dims, a, hdp, kh_rows),
         grid=(t,),
-        in_specs=_common_specs(dims, t, a, hdp, zr)
+        in_specs=_common_specs(dims, t, a, hdp, zr, kh_rows)
         + [pl.BlockSpec((dims.nt, hdp), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[
@@ -417,7 +432,7 @@ def _attn_bwd(dims: AttnDims, res, g):
         interpret=jax.default_backend() == "cpu",
     )(
         meta.s0, meta.live, meta.src_rel, meta.dst_rel,
-        keep.astype(jnp.float32), meta.attr_t, we_p, q_p, k_p, v_p, g_p,
+        keep, meta.attr_t, we_p, q_p, k_p, v_p, g_p,
     )
 
     # combine overlapping per-tile source windows: rows s0[t] + [0, SW)
