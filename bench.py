@@ -27,6 +27,14 @@ BASELINE_FPS = 2.758  # baselines/torch_reference.py, idle box, best of 4
 # (round 1 recorded 1.12 — measured while the CPU was contended; the
 # corrected idle-box figure is used so vs_baseline is not overstated)
 
+# Ice-scale torch CPU baseline (round 3): a full-BPTT training step of the
+# flagship config exceeds host RAM (autograd residuals of ~1200 graph convs
+# at 48k nodes), so the recorded figure is the *inference-only* forward
+# rollout (no_grad, 74.7 s / 90 frames, 1 CPU) — an upper bound on the
+# reference's CPU training throughput; vs_baseline for the ice workload is
+# therefore a LOWER bound on the true training speedup.
+BASELINE_ICE_FPS = 1.204
+
 CANVAS = (64, 64)
 T_IN, T_OUT = 4, 10
 
@@ -167,7 +175,8 @@ def ice_mask(shape=ICE_SHAPE, seed=0):
 
 
 def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
-                       conv="TransformerConv", budget=16384):
+                       conv="TransformerConv", budget=16384,
+                       fused_gates=True):
     from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
@@ -178,11 +187,16 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
         kw = dict(thresh=float("-inf"), decompose=False,
                   graph_kwargs=dict(aggregation="xla"))
     else:  # quadtree+remesh variant (ref's commented thresh 0.15, :145-150)
+        # attention convs read the edge list (the pallas Â blocks only
+        # serve GCN/Cheb), so the mesh carries edges and aggregates via
+        # the sorted-scatter XLA path; GCN/Cheb ice-quadtree configs can
+        # flip to aggregation="pallas"
+        agg = "pallas" if conv in ("GCNConv", "ChebConv") else "xla"
         kw = dict(
             thresh=0.15, decompose=True, transform_func=dist_from_05,
             graph_kwargs=dict(
                 max_grid_size=8, n_max=budget, e_max=8 * budget,
-                node_budget=budget, aggregation="pallas",
+                node_budget=budget, aggregation=agg,
                 agg_nt=128, agg_eb=2048, agg_sw=2048,
             ),
         )
@@ -196,7 +210,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
         model_kwargs=dict(
             hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
             rnn_type="LSTM", convolution_type=conv, compute_dtype=dtype,
-            remat=remat,
+            remat=remat, fused_gates=fused_gates,
         ),
         **kw,
     )
@@ -204,7 +218,13 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
 
 def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
-                seed=0):
+                seed=0, fused_gates=None):
+    if fused_gates is None:
+        # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
+        # big on edge-list backends (XLA/pallas windows) but costs ~7% on
+        # the dense grid stencil, where XLA already batches the per-gate
+        # calls — default per mesh type.
+        fused_gates = not mesh.startswith("pixelwise")
     """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
     import jax
     import jax.numpy as jnp
@@ -227,7 +247,8 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
         n_steps + 1, batch, ICE_T_OUT, rows, cols, 1
     )
 
-    model = make_ice_predictor(mesh, dtype, remat, conv)
+    model = make_ice_predictor(mesh, dtype, remat, conv,
+                               fused_gates=fused_gates)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -301,6 +322,9 @@ def main():
                     "backend); ice-quadtree = same scale with quadtree+"
                     "remesh; ice-xla = pixelwise on the edge-list backend")
     ap.add_argument("--ice-steps", type=int, default=4)
+    ap.add_argument("--no-fused-gates", action="store_true",
+                    help="per-gate vmapped conv stacks instead of the "
+                    "fused gate stacks (A/B knob)")
     ap.add_argument("--conv", default="ChebConv",
                     help="convolution type for the mnist workload "
                     "(ChebConv = historical bench row; TransformerConv = "
@@ -326,7 +350,8 @@ def main():
         d = {}
         fps = measure_ice(mesh, batch=args.batch if args.batch != 16 else 1,
                           n_steps=args.ice_steps, dtype=args.dtype,
-                          remat=remat, detail_out=d)
+                          remat=remat, detail_out=d,
+                          fused_gates=False if args.no_fused_gates else None)
         print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
         print(json.dumps({
             "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "
@@ -334,7 +359,7 @@ def main():
                       f"dtype={args.dtype})",
             "value": round(fps, 3),
             "unit": "frames/sec",
-            "vs_baseline": None,
+            "vs_baseline": round(fps / BASELINE_ICE_FPS, 2),
             "detail": d,
         }))
         return

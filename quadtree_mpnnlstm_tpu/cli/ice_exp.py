@@ -225,6 +225,16 @@ def main(argv=None):
                         "densification to the results dir")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--shape", type=int, nargs=2, default=(32, 32),
+                        metavar=("ROWS", "COLS"),
+                        help="synthetic grid shape; the real Hudson-Bay "
+                        "flagship shape is 224 304 (ref ice_exp.py)")
+    parser.add_argument("--synthetic-years", type=int, default=11,
+                        help="years of synthetic daily data (memory: "
+                        "~shape*365*5vars*4B per year)")
+    parser.add_argument("--t-out", type=int, default=None,
+                        help="decoder rollout length (default: 90 real "
+                        "data / 10 synthetic; the flagship uses 90)")
     parser.add_argument("--results-dir", default=None)
     args = parser.parse_args(argv)
 
@@ -236,10 +246,15 @@ def main(argv=None):
     x_vars = ["siconc", "t2m", "v10", "u10", "sshf"]
     y_vars = ["siconc"]
     input_timesteps = cfg["input_timesteps"]
-    output_timesteps = 90 if not args.synthetic else 10
+    output_timesteps = args.t_out or (90 if not args.synthetic else 10)
 
     if args.synthetic:
-        ds, mask = synthetic_dataset()
+        # training_years below slices [2007, 2013); clamp to generated span
+        y1 = 2007 + args.synthetic_years
+        ds, mask = synthetic_dataset(
+            shape=tuple(args.shape), years=(2007, y1)
+        )
+        training_years = range(2007, min(2013, y1 - 1))
         hir = None if args.no_hir else synthetic_hir(mask.shape)
     else:
         ds, mask = load_real_dataset(args.data_glob)
@@ -250,8 +265,14 @@ def main(argv=None):
                             output_timesteps, x_vars, y_vars, train=True)
     data_test = IceDataset(ds, [training_years[-1] + 1], month,
                            input_timesteps, output_timesteps, x_vars, y_vars)
+    last_data_year = int(str(ds.times[-1])[:4])
+    val_years = [
+        y
+        for y in range(training_years[-1] + 2, training_years[-1] + 2 + 4)
+        if y <= last_data_year
+    ] or [training_years[-1] + 1]
     data_val = IceDataset(
-        ds, range(training_years[-1] + 2, training_years[-1] + 2 + 4),
+        ds, val_years,
         month, input_timesteps, output_timesteps, x_vars, y_vars,
     )
     loader_train = DataLoader(data_train, args.batch_size, shuffle=True, seed=21)
@@ -301,6 +322,15 @@ def main(argv=None):
             n_conv_layers=3,
             rnn_type="LSTM",
             convolution_type=cfg["convolution_type"],
+            # per-gate stacks measure faster than gates-as-heads on the
+            # dense grid backend (PERF_NOTES round 3)
+            fused_gates=bool(cfg["preset_mesh"]),
+        ),
+        # pixelwise (thresh=-inf, the committed config) rides the dense
+        # grid stencil backend — the fast path at the 224×304 flagship
+        # scale; preset-mesh experiments keep the edge-list backend
+        graph_kwargs=(
+            None if cfg["preset_mesh"] else dict(aggregation="grid")
         ),
     )
     print("Num. parameters:", model.get_n_params())
@@ -324,6 +354,7 @@ def main(argv=None):
                 hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
                 rnn_type="LSTM", convolution_type=cfg["convolution_type"],
             ),
+            graph_kwargs=dict(aggregation="grid"),
         )
         half_train = IceDataset(coarse, training_years, month,
                                 input_timesteps, output_timesteps, x_vars,

@@ -704,6 +704,10 @@ class NextFramePredictorS2S(NextFramePredictor):
         n_sample = x.shape[0]
         shape = self.gcfg.image_shape
         gcfg = self.gcfg.replace(thresh=float(thresh))
+        if gcfg.aggregation == "grid" and not gcfg.pixelwise:
+            # the visualiser sweeps quadtree thresholds; the grid backend
+            # only exists for pixelwise meshes, so fall back to edge lists
+            gcfg = gcfg.replace(aggregation="xla", attn_windows=False)
         xp = add_positional_encoding(x)
         graph, data = image_to_graph(
             xp, gcfg,
