@@ -98,3 +98,44 @@ def test_bf16_training_via_train_config():
         assert leaf.dtype == jnp.float32
     assert np.isfinite(losses["bfloat16"])
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.02
+
+
+def test_bf16_training_converges_like_f32():
+    """CI-sized twin of baselines/bf16_quality.py: a short training run in
+    both dtypes on identical data must reach comparable loss (the full
+    convergence table lives in BASELINE.md round-3)."""
+    import numpy as np
+
+    from quadtree_mpnnlstm_tpu.data import ArrayDataset, DataLoader
+    from quadtree_mpnnlstm_tpu.data.moving_mnist import ModMovingMNISTDataset
+    from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+    ds = ModMovingMNISTDataset(
+        16, input_timesteps=2, output_timesteps=3, canvas_size=(16, 16),
+        digit_size=(10, 10), pixel_noise=0.0, velocity_noise=0.0, seed=0,
+    )
+    dates = np.zeros(16, np.int64)
+    train = ArrayDataset(ds.x[:12], ds.y[:12], dates[:12])
+    val = ArrayDataset(ds.x[12:], ds.y[12:], dates[12:])
+    mask = np.zeros((16, 16), bool)
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        model = NextFramePredictorS2S(
+            image_shape=(16, 16), thresh=0.1, experiment_name=f"ci_{dtype}",
+            decompose=True, input_features=1, input_timesteps=2,
+            output_timesteps=3,
+            model_kwargs=dict(hidden_size=8, dropout=0.0, n_layers=1,
+                              n_conv_layers=1, convolution_type="ChebConv",
+                              compute_dtype=dtype),
+            graph_kwargs=dict(max_grid_size=8, n_max=256, e_max=2048),
+        )
+        model.train(DataLoader(train, 4, shuffle=True, seed=1),
+                    DataLoader(val, 4), lr=0.01, lr_decay=0.95,
+                    n_epochs=3, mask=mask)
+        losses[dtype] = model.test_loss[-1]
+    assert np.isfinite(list(losses.values())).all()
+    # same trajectory within mixed-precision noise on a 3-epoch run
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.3 * (
+        abs(losses["float32"]) + 1e-3
+    ), losses
