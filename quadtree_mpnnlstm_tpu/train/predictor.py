@@ -703,11 +703,12 @@ class NextFramePredictorS2S(NextFramePredictor):
         x = jnp.asarray(x)
         n_sample = x.shape[0]
         shape = self.gcfg.image_shape
-        gcfg = self.gcfg.replace(thresh=float(thresh))
-        if gcfg.aggregation == "grid" and not gcfg.pixelwise:
+        kw = dict(thresh=float(thresh))
+        if self.gcfg.aggregation == "grid" and float(thresh) != NEG_INF:
             # the visualiser sweeps quadtree thresholds; the grid backend
             # only exists for pixelwise meshes, so fall back to edge lists
-            gcfg = gcfg.replace(aggregation="xla", attn_windows=False)
+            kw.update(aggregation="xla", attn_windows=False)
+        gcfg = self.gcfg.replace(**kw)
         xp = add_positional_encoding(x)
         graph, data = image_to_graph(
             xp, gcfg,

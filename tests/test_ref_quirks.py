@@ -94,8 +94,8 @@ def test_remesh_concat_is_self_value_at_t0():
     mask = jnp.zeros(SHAPE, bool)
     zero_img = jnp.zeros((*SHAPE, 1))
     xs = (jnp.asarray(0), zero_img, zero_img)
-    params = step.init(jax.random.PRNGKey(1), state, (mask, mask), xs)
-    _, y0 = step.apply(params, state, (mask, mask), xs)
+    params = step.init(jax.random.PRNGKey(1), state, (mask, mask, None), xs)
+    _, y0 = step.apply(params, state, (mask, mask, None), xs)
 
     out, _, _ = Decoder(cfg).apply(
         {"params": params["params"]["decoder"]},
