@@ -232,6 +232,9 @@ def main(argv=None):
     parser.add_argument("--synthetic-years", type=int, default=11,
                         help="years of synthetic daily data (memory: "
                         "~shape*365*5vars*4B per year)")
+    parser.add_argument("--max-loss", type=float, default=4.0,
+                        help="divergence-guard threshold (ref literal 4; "
+                        "raise for short smoke runs of long rollouts)")
     parser.add_argument("--t-out", type=int, default=None,
                         help="decoder rollout length (default: 90 real "
                         "data / 10 synthetic; the flagship uses 90)")
@@ -386,6 +389,7 @@ def main(argv=None):
         high_interest_region=hir,
         truncated_backprop=cfg["truncated_backprop"],
         graph_structure=graph_structure,
+        divergence_threshold=args.max_loss,
     )
 
     results_dir = args.results_dir or f"ice_results_exp{exp}"

@@ -47,6 +47,13 @@ from quadtree_mpnnlstm_tpu.ops.pallas_spmm import (
 
 _NEG = -1e30
 
+# The default scoped-VMEM budget is 16 MB; the fused-gate configurations
+# (heads_total up to 24, EB/SW up to 2048) legitimately use more of the
+# chip's 128 MB VMEM for their working mats, so raise the cap for these
+# kernels (the Mosaic allocator still errors loudly if a config exceeds
+# physical VMEM).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 class AttnMeta(NamedTuple):
     """Per-mesh attention windows (pytree; cached on GraphTensors)."""
@@ -368,6 +375,9 @@ def _attn_impl(q, k, v, we, keep, meta: AttnMeta, dims: AttnDims):
         in_specs=_common_specs(dims, t, a, hdp, zr, kh_rows),
         out_specs=pl.BlockSpec((dims.nt, hdp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, hdp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=jax.default_backend() == "cpu",
     )(
         meta.s0, meta.live, meta.src_rel, meta.dst_rel,
@@ -429,6 +439,9 @@ def _attn_bwd(dims: AttnDims, res, g):
             jax.ShapeDtypeStruct((t, dims.sw, hdp), q.dtype),
             jax.ShapeDtypeStruct((t, a, hdp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=jax.default_backend() == "cpu",
     )(
         meta.s0, meta.live, meta.src_rel, meta.dst_rel,

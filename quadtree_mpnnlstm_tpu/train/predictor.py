@@ -500,10 +500,14 @@ class NextFramePredictorS2S(NextFramePredictor):
         high_interest_region=None,
         truncated_backprop: Optional[int] = None,
         graph_structure=None,
+        divergence_threshold: float = 4.0,
     ):
         """ref model/mpnnlstm.py:187-387. Optimisation arguments default to
         the constructor's ``train_config`` when one was passed (else the
-        reference's literals)."""
+        reference's literals). ``divergence_threshold`` is the reference's
+        abort-when-test-loss-exceeds guard (ref :366-367, literal 4); long
+        rollouts evaluated after very short smoke epochs can trip it
+        spuriously — raise it for such runs."""
         tc = self.train_config
         if n_epochs is None:
             n_epochs = tc.n_epochs if tc is not None else 200
@@ -580,7 +584,7 @@ class NextFramePredictorS2S(NextFramePredictor):
 
             if np.isnan(running_test):
                 raise ValueError("NaN loss :(")  # ref :363-364
-            if running_test > 4:
+            if running_test > divergence_threshold:
                 raise ValueError("Diverged :(")  # ref :366-367
 
             self.writer.scalar("Loss/test", running_test, epoch)
