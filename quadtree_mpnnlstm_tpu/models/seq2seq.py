@@ -57,12 +57,31 @@ from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
 
 @struct.dataclass
 class Seq2SeqState:
-    """Scan carry: current mesh, node input, stacked recurrent state."""
+    """Scan carry: current mesh, node input, per-layer recurrent state.
+
+    ``hidden``/``cell`` are tuples with one (n_max, hidden) leaf per
+    layer — NOT a stacked (n_layers, n_max, hidden) array. Stacked state
+    forced a dynamic-slice per layer on every consume and a ``stack`` on
+    every produce inside the scan body; the round-2 xplane trace showed
+    those as real per-step DMA copies (PERF_NOTES round-3 DMA section).
+    Leaves are free to index and rebuild.
+    """
 
     graph: GraphTensors
-    x: jnp.ndarray       # (n_max, F) current node input
-    hidden: jnp.ndarray  # (n_layers, n_max, hidden)
-    cell: jnp.ndarray    # (n_layers, n_max, hidden)
+    x: jnp.ndarray  # (n_max, F) current node input
+    hidden: Tuple[jnp.ndarray, ...]  # n_layers × (n_max, hidden)
+    cell: Tuple[jnp.ndarray, ...]    # n_layers × (n_max, hidden)
+
+
+def _transfer_state(hc, old_graph, new_graph, shape):
+    """Carry per-layer recurrent state across a remesh through pixel space:
+    unflatten on the old mapping, flatten on the new (ref seq2seq.py:
+    434-491 does the same via dense mapping matmuls)."""
+
+    def one(h):
+        return flatten(unflatten(h, old_graph, shape)[None], new_graph)[0]
+
+    return tuple(one(h) for h in hc)
 
 
 def _make_cells(cfg: ModelConfig, n_conv_layers: int, name: str):
@@ -99,10 +118,10 @@ class Encoder(nn.Module):
         self,
         x_t: jnp.ndarray,
         graph: GraphTensors,
-        prev_hidden: jnp.ndarray,
-        prev_cell: jnp.ndarray,
+        prev_hidden: Tuple[jnp.ndarray, ...],
+        prev_cell: Tuple[jnp.ndarray, ...],
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
         cfg = self.cfg
         if cfg.dummy:
             return prev_hidden, prev_cell
@@ -124,7 +143,7 @@ class Encoder(nn.Module):
                 c = self.norm_c(c)
             hs.append(h)
             cs.append(c)
-        return jnp.stack(hs), jnp.stack(cs)
+        return tuple(hs), tuple(cs)
 
 
 class Decoder(nn.Module):
@@ -170,10 +189,10 @@ class Decoder(nn.Module):
         x: jnp.ndarray,
         graph: GraphTensors,
         concat_layers: Optional[jnp.ndarray],
-        hidden: jnp.ndarray,
-        cell: jnp.ndarray,
+        hidden: Tuple[jnp.ndarray, ...],
+        cell: Tuple[jnp.ndarray, ...],
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
         cfg = self.cfg
         if cfg.dummy:
             inp = x if concat_layers is None else jnp.concatenate(
@@ -205,7 +224,7 @@ class Decoder(nn.Module):
         output = jnp.tanh(output) + x[:, [0]]  # residual on previous value (ref :174)
         if cfg.binary:
             output = nn.sigmoid(output)
-        return output, jnp.stack(hs), jnp.stack(cs)
+        return output, tuple(hs), tuple(cs)
 
 
 class _EncoderScanStep(nn.Module):
@@ -244,8 +263,6 @@ class _EncoderRemeshStep(nn.Module):
         shape = self.gcfg.image_shape
 
         def remesh(_):
-            h_img = unflatten(hidden, state.graph, shape)
-            c_img = unflatten(cell, state.graph, shape)
             new_graph, data = image_to_graph(
                 next_frame[None],
                 self.gcfg,
@@ -265,8 +282,8 @@ class _EncoderRemeshStep(nn.Module):
             return Seq2SeqState(
                 graph=new_graph,
                 x=data[0],
-                hidden=flatten(h_img, new_graph),
-                cell=flatten(c_img, new_graph),
+                hidden=_transfer_state(hidden, state.graph, new_graph, shape),
+                cell=_transfer_state(cell, state.graph, new_graph, shape),
             )
 
         def keep(_):
@@ -336,8 +353,6 @@ class _DecoderScanStep(nn.Module):
 
         def do_remesh(_):
             # ref seq2seq.py:434-491
-            h_img = unflatten(hidden, graph, shape)
-            c_img = unflatten(cell, graph, shape)
             base = jnp.where(teacher_force, y_t.astype(y_hat_t.dtype), y_hat_t)
             frame = add_positional_encoding(base[None])
             new_graph, data = image_to_graph(
@@ -354,8 +369,8 @@ class _DecoderScanStep(nn.Module):
             return Seq2SeqState(
                 graph=new_graph,
                 x=data[0],
-                hidden=flatten(h_img, new_graph),
-                cell=flatten(c_img, new_graph),
+                hidden=_transfer_state(hidden, graph, new_graph, shape),
+                cell=_transfer_state(cell, graph, new_graph, shape),
             )
 
         def no_remesh(_):
@@ -458,11 +473,11 @@ class Seq2Seq(nn.Module):
         )
 
     def _zeros_state(self):
-        shape = (self.cfg.n_layers, self.gcfg.n_max, self.cfg.hidden_size)
-        return (
-            jnp.zeros(shape, self.cfg.cdtype),
-            jnp.zeros(shape, self.cfg.cdtype),
+        zeros = tuple(
+            jnp.zeros((self.gcfg.n_max, self.cfg.hidden_size), self.cfg.cdtype)
+            for _ in range(self.cfg.n_layers)
         )
+        return zeros, zeros
 
     def encode(
         self,

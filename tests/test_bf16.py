@@ -38,7 +38,7 @@ def test_bf16_region_and_f32_outputs():
 
     state = model.apply(params, x, method="encode")
     assert state.x.dtype == jnp.bfloat16
-    assert state.hidden.dtype == jnp.bfloat16
+    assert all(h.dtype == jnp.bfloat16 for h in state.hidden)
 
     y_hat = model.apply(params, x)
     assert y_hat.dtype == jnp.float32
