@@ -187,11 +187,11 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
         kw = dict(thresh=float("-inf"), decompose=False,
                   graph_kwargs=dict(aggregation="xla"))
     else:  # quadtree+remesh variant (ref's commented thresh 0.15, :145-150)
-        # attention convs read the edge list (the pallas Â blocks only
-        # serve GCN/Cheb), so the mesh carries edges and aggregates via
-        # the sorted-scatter XLA path; GCN/Cheb ice-quadtree configs can
-        # flip to aggregation="pallas"
-        agg = "pallas" if conv in ("GCNConv", "ChebConv") else "xla"
+        # GCN/Cheb ride the fused SpMM Â blocks; attention convs ride the
+        # fused attention windows (ops/pallas_attn.py, auto-enabled by the
+        # predictor for pallas+Transformer) — 8.5 vs 6.6 f/s over the XLA
+        # edge path at this scale (PERF_NOTES ice table)
+        agg = "pallas"
         kw = dict(
             thresh=0.15, decompose=True, transform_func=dist_from_05,
             graph_kwargs=dict(
@@ -309,7 +309,7 @@ def main():
                     "parity vs the torch reference is proven in f32, "
                     "PARITY.json)")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "dots", "none"],
+                    choices=["full", "mesh", "dots", "none"],
                     help="scan-step remat mode: full=replay all (default, "
                     "fast compile; dots/none showed no reliable bench win "
                     "over full on this workload — none is +12%% only in "

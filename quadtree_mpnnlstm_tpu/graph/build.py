@@ -25,6 +25,26 @@ from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten
 from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
 
 
+def _tag_mesh(
+    graph: GraphTensors, data: jnp.ndarray
+) -> Tuple[GraphTensors, jnp.ndarray]:
+    """Name every mesh-build output for ``remat="mesh"`` (seq2seq.py).
+
+    Under full per-step remat the backward pass replays the whole scan
+    step — including this module's sort/dedup/densify, whose operand
+    prefetches over the padded pixel/edge capacities dominated the
+    decoder-loop DMA in round-3 traces. Tagging the outputs lets the
+    ``save_only_these_names("mesh")`` checkpoint policy store them
+    (integer maps + Â blocks, small next to conv residuals) so the
+    backward replays only the differentiable compute.
+    ``checkpoint_name`` is the identity outside a remat region.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    tag = lambda a: checkpoint_name(a, "mesh")
+    return jax.tree.map(tag, graph), tag(data)
+
+
 def _node_positions(data0: jnp.ndarray, cfg: GraphConfig) -> jnp.ndarray:
     """Node centroid (x, y) from the flattened positional-encoding channels.
 
@@ -197,7 +217,7 @@ def image_to_graph(
     """
     assert img.ndim == 4, f"expected (T, rows, cols, C); got {img.shape}"
     if cfg.pixelwise:
-        return pixelwise_graph(img, cfg, mask=mask)
+        return _tag_mesh(*pixelwise_graph(img, cfg, mask=mask))
 
     crit = jnp.max(img[..., 0], axis=0)
     level = decompose_levels(
@@ -211,7 +231,9 @@ def image_to_graph(
 
     half_base = (cfg.max_grid_size / 2.0) ** 2
     cell_sizes = counts / half_base
-    return _assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=True)
+    return _tag_mesh(
+        *_assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=True)
+    )
 
 
 def pixelwise_graph(

@@ -424,6 +424,10 @@ class Seq2Seq(nn.Module):
     use_climatology: bool = False
     # Rematerialisation of scan steps in the backward pass:
     #   True/"full" — replay the whole step (smallest program, ~90 s compile)
+    #   "mesh"      — replay compute but SAVE the mesh-build outputs
+    #                 (graph/build.py:_tag_mesh): the backward skips the
+    #                 sort/dedup/Â-densify whose padded-capacity operand
+    #                 prefetches dominate the remeshing decoder's DMA
     #   "dots"      — save matmul outputs, replay elementwise
     #                 (jax.checkpoint_policies.dots_saveable; +5% measured,
     #                 ~2.5x compile)
@@ -443,6 +447,13 @@ class Seq2Seq(nn.Module):
             # Per-step remat keeps rollout memory O(carry) instead of
             # O(T × all conv residuals) — the lax.scan analogue of the
             # reference's truncated-BPTT memory workaround
+            if self.remat == "mesh":
+                return nn.remat(
+                    cls, prevent_cse=False,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "mesh"
+                    ),
+                )
             if self.remat == "dots":
                 return nn.remat(
                     cls, prevent_cse=False,

@@ -160,3 +160,32 @@ def test_decoder_residual_head():
     params = model.init(jax.random.PRNGKey(8), x)
     out = np.asarray(model.apply(params, x))
     assert np.abs(out).max() <= 2.0  # |tanh| ≤ 1 and values ≤ 1
+
+
+@pytest.mark.parametrize("mode", ["mesh", "dots", "none"])
+def test_remat_modes_grad_equivalence(mode):
+    """Every remat policy computes the same loss/gradients as full remat.
+
+    ``"mesh"`` (save_only_these_names on graph/build.py:_tag_mesh outputs)
+    must be bit-identical in particular: it changes only *which* forward
+    values the backward replays, never the math."""
+    x, y = data(11)
+
+    def run(remat):
+        model = build(remat=remat)
+        params = model.init(jax.random.PRNGKey(11), x)
+
+        def loss(p):
+            return jnp.mean((model.apply(p, x) - y) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    l_ref, g_ref = run(True)
+    l, g = run(mode)
+    assert abs(float(l) - float(l_ref)) < 1e-6
+    max_diff = max(
+        jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g, g_ref)
+        )
+    )
+    assert max_diff < 1e-5, max_diff
