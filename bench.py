@@ -376,9 +376,13 @@ def main():
             canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
             velocity_noise=0.0, seed=0,
         )
-        baseline = torch_measure(ds.x, ds.y)
-        print(f"torch CPU baseline re-measured: {baseline:.4f} f/s",
+        measured = torch_measure(ds.x, ds.y)
+        print(f"torch CPU baseline re-measured: {measured:.4f} f/s",
               file=sys.stderr)
+        # single runs vary on this 1-CPU box; dividing by a slow run would
+        # overstate the speedup, so hold the baseline at the best (fastest)
+        # measurement ever recorded (BASELINE.md round-2 correction)
+        baseline = max(measured, BASELINE_FPS)
 
     detail = {}
     if args.full:
@@ -396,9 +400,28 @@ def main():
             detail[f"pallas_bf16_b{batch}"] = dict(fps=round(fps, 2), **d)
             print(f"[full] agg=pallas bf16 batch={batch}: {fps:.1f} f/s {d}",
                   file=sys.stderr)
-        best_key = max(detail, key=lambda k: detail[k]["fps"])
+        # the reference's flagship conv at the bench config (fused Pallas
+        # attention windows + gates-as-heads stack)
+        d = {}
+        fps_t = measure(16, "pallas", args.steps, dtype="bfloat16",
+                        conv="TransformerConv", detail_out=d)
+        detail["pallas_attn_transformer_b16"] = dict(fps=round(fps_t, 2), **d)
+        print(f"[full] TransformerConv pallas bf16 b16: {fps_t:.1f} f/s {d}",
+              file=sys.stderr)
+        # the reference's flagship scale (224x304, T_out=90)
+        for key, mesh in (("ice_grid_b1", "pixelwise"),
+                          ("ice_quadtree_b1", "quadtree")):
+            d = {}
+            f = measure_ice(mesh, detail_out=d)
+            detail[key] = dict(fps=round(f, 2), **d)
+            print(f"[full] {key}: {f:.1f} f/s {d}", file=sys.stderr)
+        best_key = max(
+            (k for k in detail if not k.startswith("ice")),
+            key=lambda k: detail[k]["fps"],
+        )
         fps = detail[best_key]["fps"]
         detail["baseline_fps"] = baseline
+        detail["baseline_ice_fps"] = BASELINE_ICE_FPS
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
     else:
