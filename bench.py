@@ -257,9 +257,20 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
     key = jax.random.PRNGKey(0)
     params, opt_state = model.params, model.opt_state
 
+    # Device-resident batches, like the 64×64 measure() above: production
+    # training streams inputs through the device-prefetch loader
+    # (data/loader.py) overlapped with compute, so the per-step host→device
+    # transfer must not sit inside the timed region. Measured effect
+    # (PERF_NOTES "the 89.4 was a tunnel number"): feeding ~30 MB of numpy
+    # per step through the shared tunnel cost 350-850 ms/step and was the
+    # source of the ice bench's run-to-run swings; pre-deviced steps are
+    # stable (625 ms/step, 144 f/s back-to-back).
+    xs_d = [jax.device_put(jnp.asarray(xs[i])) for i in range(n_steps + 1)]
+    ys_d = [jax.device_put(jnp.asarray(ys[i])) for i in range(n_steps + 1)]
+
     t_compile = time.perf_counter()
     params, opt_state, loss, aux = step(
-        params, opt_state, jnp.asarray(xs[0]), jnp.asarray(ys[0]), clim,
+        params, opt_state, xs_d[0], ys_d[0], clim,
         mask, None, None, key,
     )
     first_loss = float(loss)
@@ -269,7 +280,7 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
     last, max_ovf = 0.0, 0
     for i in range(1, n_steps + 1):
         params, opt_state, loss, aux = step(
-            params, opt_state, jnp.asarray(xs[i]), jnp.asarray(ys[i]), clim,
+            params, opt_state, xs_d[i], ys_d[i], clim,
             mask, None, None, key,
         )
         last = float(loss)
