@@ -112,13 +112,20 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
     st = time.perf_counter()
     last = 0.0
     max_ovf = 0
+    pending = None
+    # scalar fetches drain one step late, like the production train loop
+    # (train/predictor.py): the tunnel round-trip overlaps device compute
     for i in range(1, n_steps + 1):
         params, opt_state, loss, aux = step(
             params, opt_state, batches[i][0], batches[i][1], clim, mask,
             mask, None, key,
         )
-        last = float(loss)
-        max_ovf = max(max_ovf, int(aux["mesh_overflow"]))
+        if pending is not None:
+            last = float(pending[0])
+            max_ovf = max(max_ovf, int(pending[1]["mesh_overflow"]))
+        pending = (loss, aux)
+    last = float(pending[0])
+    max_ovf = max(max_ovf, int(pending[1]["mesh_overflow"]))
     dt = time.perf_counter() - st
     assert np.isfinite(last), "non-finite training loss in bench"
     assert max_ovf == 0, (
@@ -278,13 +285,19 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
 
     st = time.perf_counter()
     last, max_ovf = 0.0, 0
+    pending = None
+    # lagged scalar drain, like the production train loop (predictor.py)
     for i in range(1, n_steps + 1):
         params, opt_state, loss, aux = step(
             params, opt_state, xs_d[i], ys_d[i], clim,
             mask, None, None, key,
         )
-        last = float(loss)
-        max_ovf = max(max_ovf, int(aux["mesh_overflow"]))
+        if pending is not None:
+            last = float(pending[0])
+            max_ovf = max(max_ovf, int(pending[1]["mesh_overflow"]))
+        pending = (loss, aux)
+    last = float(pending[0])
+    max_ovf = max(max_ovf, int(pending[1]["mesh_overflow"]))
     dt = time.perf_counter() - st
     assert np.isfinite(last), f"non-finite ice loss ({first_loss}->{last})"
     assert max_ovf == 0, (

@@ -230,6 +230,9 @@ class NextFramePredictorCNNLSTM:
         for epoch in range(n_epochs):
             self._set_lr()
             running, steps = 0.0, 0
+            # lagged scalar drain (see train/predictor.py): the host-fetch
+            # round trip overlaps the next step's device compute
+            pending = None
             for x, y, launch in loader_train:
                 clim = self._clim_batch(climatology, launch)
                 self.rng, key = jax.random.split(self.rng)
@@ -238,20 +241,33 @@ class NextFramePredictorCNNLSTM:
                     jnp.asarray(x), jnp.asarray(y), jnp.asarray(clim),
                     mask_a, key,
                 )
-                loss = float(loss)
-                self.writer.scalar("Loss/train", loss, batch_step)
-                running += loss
-                steps += 1
+                if pending is not None:
+                    lv = float(pending[0])
+                    self.writer.scalar("Loss/train", lv, pending[1])
+                    running += lv
+                    steps += 1
+                pending = (loss, batch_step)
                 batch_step += 1
+            if pending is not None:
+                lv = float(pending[0])
+                self.writer.scalar("Loss/train", lv, pending[1])
+                running += lv
+                steps += 1
 
             running_test, steps_test = 0.0, 0
+            pending_test = None
             for x, y, launch in loader_test:
                 clim = self._clim_batch(climatology, launch)
                 _, loss = eval_step(
                     self.variables, jnp.asarray(x), jnp.asarray(y),
                     jnp.asarray(clim), mask_a,
                 )
-                running_test += float(loss)
+                if pending_test is not None:
+                    running_test += float(pending_test)
+                    steps_test += 1
+                pending_test = loss
+            if pending_test is not None:
+                running_test += float(pending_test)
                 steps_test += 1
 
             running /= max(steps, 1)

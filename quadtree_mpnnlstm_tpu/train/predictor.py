@@ -470,6 +470,28 @@ class NextFramePredictorS2S(NextFramePredictor):
         self._steps[key] = step
         return step
 
+    def _drain_step_metrics(self, pending, running, epoch_overflow):
+        """Fetch + log one train step's device scalars.
+
+        Called one step late (see the train loop) so the host-fetch round
+        trip overlaps the next step's device compute."""
+        loss_d, aux, step_idx = pending
+        loss = float(loss_d)
+        self.writer.scalar("Loss/train", loss, step_idx)
+        epoch_overflow = max(
+            epoch_overflow, int(aux.get("mesh_overflow", 0))
+        )
+        if "enc_grad_norm" in aux:  # debug (ref mpnnlstm.py:272-276)
+            self.writer.scalar(
+                "Grad/encoder/grad_norms",
+                float(aux["enc_grad_norm"]), step_idx,
+            )
+            self.writer.scalar(
+                "Grad/decoder/grad_norms",
+                float(aux["dec_grad_norm"]), step_idx,
+            )
+        return running + loss, epoch_overflow
+
     def _clim_batch(self, climatology, launch_dates) -> np.ndarray:
         """(B, T_out, rows, cols, 1) day-of-year normals
         (ref mpnnlstm.py:389-400)."""
@@ -538,6 +560,14 @@ class NextFramePredictorS2S(NextFramePredictor):
             self._set_lr()
             running, steps = 0.0, 0
             epoch_overflow = 0
+            # Per-step scalars (loss, overflow) are fetched one step LATE:
+            # on the tunneled platform every host fetch is a full round
+            # trip (~30 ms at ice scale), and draining the previous step's
+            # metrics after launching the current step overlaps that round
+            # trip with device compute (PERF_NOTES round 3). Inputs are
+            # already overlapped by prefetch_to_device; loss values and
+            # epoch aggregates are unchanged.
+            pending = None
             for x, y, launch in prefetch_to_device(loader_train):
                 if self.dp_devices > 1 and x.shape[0] % self.dp_devices:
                     raise ValueError(
@@ -551,32 +581,33 @@ class NextFramePredictorS2S(NextFramePredictor):
                     jnp.asarray(x), jnp.asarray(y), jnp.asarray(clim),
                     mask_a, hir_a, graph_structure, key,
                 )
-                loss = float(loss)
-                self.writer.scalar("Loss/train", loss, batch_step)
-                epoch_overflow = max(
-                    epoch_overflow, int(aux.get("mesh_overflow", 0))
-                )
-                if "enc_grad_norm" in aux:  # debug (ref mpnnlstm.py:272-276)
-                    self.writer.scalar(
-                        "Grad/encoder/grad_norms",
-                        float(aux["enc_grad_norm"]), batch_step,
+                if pending is not None:
+                    running, epoch_overflow = self._drain_step_metrics(
+                        pending, running, epoch_overflow
                     )
-                    self.writer.scalar(
-                        "Grad/decoder/grad_norms",
-                        float(aux["dec_grad_norm"]), batch_step,
-                    )
-                running += loss
-                steps += 1
+                    steps += 1
+                pending = (loss, aux, batch_step)
                 batch_step += 1
+            if pending is not None:
+                running, epoch_overflow = self._drain_step_metrics(
+                    pending, running, epoch_overflow
+                )
+                steps += 1
 
             running_test, steps_test = 0.0, 0
+            pending_test = None
             for x, y, launch in prefetch_to_device(loader_test):
                 clim = self._clim_batch(climatology, launch)
                 _, loss = eval_step(
                     self.params, jnp.asarray(x), jnp.asarray(y),
                     jnp.asarray(clim), mask_a, hir_a, graph_structure,
                 )
-                running_test += float(loss)
+                if pending_test is not None:
+                    running_test += float(pending_test)
+                    steps_test += 1
+                pending_test = loss
+            if pending_test is not None:
+                running_test += float(pending_test)
                 steps_test += 1
 
             running /= max(steps, 1)

@@ -39,6 +39,15 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # CPU executables are AOT-compiled against the *compiling*
+            # host's machine features; reloading them on a host whose
+            # feature set differs (VM feature masking) risks SIGILL —
+            # XLA:CPU warns exactly this when the virtual-mesh dryrun
+            # reloads cached entries. CPU compiles are cheap; cache only
+            # accelerator (TPU) programs, where the cache exists to
+            # amortise minutes-long scan compiles.
+            return None
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took XLA >1 s — the graph scan programs
