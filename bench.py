@@ -183,13 +183,14 @@ def ice_mask(shape=ICE_SHAPE, seed=0):
 
 def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
                        conv="TransformerConv", budget=16384,
-                       fused_gates=True):
+                       fused_gates=True, grid_attn="xla"):
     from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     if mesh == "pixelwise":  # committed flagship: thresh=-inf (ref :145)
         kw = dict(thresh=float("-inf"), decompose=False,
-                  graph_kwargs=dict(aggregation="grid"))
+                  graph_kwargs=dict(aggregation="grid",
+                                    grid_attn=grid_attn))
     elif mesh == "pixelwise-xla":  # ablation: edge-list backend
         kw = dict(thresh=float("-inf"), decompose=False,
                   graph_kwargs=dict(aggregation="xla"))
@@ -225,7 +226,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
 
 def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
-                seed=0, fused_gates=None):
+                seed=0, fused_gates=None, grid_attn="xla"):
     if fused_gates is None:
         # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
         # big on edge-list backends (XLA/pallas windows) but costs ~7% on
@@ -255,7 +256,8 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
     )
 
     model = make_ice_predictor(mesh, dtype, remat, conv,
-                               fused_gates=fused_gates)
+                               fused_gates=fused_gates,
+                               grid_attn=grid_attn)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -309,6 +311,25 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
         detail_out["compile_s"] = round(compile_s, 1)
         detail_out["loss_first_last"] = [round(first_loss, 4), round(last, 4)]
         try:
+            cost = step.lower(
+                params, opt_state, xs_d[0], ys_d[0], clim,
+                mask, None, None, key,
+            ).compile().cost_analysis()
+            step_s = dt / n_steps
+            flops = float(cost.get("flops", 0.0))
+            bytes_ = float(cost.get("bytes accessed", 0.0))
+            peak = 197e12 if dtype == "bfloat16" else 98.5e12
+            if flops:
+                detail_out["tflops_per_step"] = round(flops / 1e12, 3)
+                detail_out["mfu_pct"] = round(100.0 * flops / step_s / peak, 2)
+            if bytes_:
+                detail_out["hbm_gb_per_step"] = round(bytes_ / 1e9, 2)
+                detail_out["hbm_util_pct"] = round(
+                    100.0 * bytes_ / step_s / 819e9, 1
+                )
+        except Exception as e:
+            detail_out["cost_analysis_error"] = str(e)[:120]
+        try:
             stats = jax.local_devices()[0].memory_stats() or {}
             if "peak_bytes_in_use" in stats:
                 detail_out["peak_hbm_gb"] = round(
@@ -346,6 +367,11 @@ def main():
                     "backend); ice-quadtree = same scale with quadtree+"
                     "remesh; ice-xla = pixelwise on the edge-list backend")
     ap.add_argument("--ice-steps", type=int, default=4)
+    ap.add_argument("--grid-attn", default="xla",
+                    choices=["xla", "pallas"],
+                    help="grid-backend attention: pallas = fused stencil "
+                    "kernel (ops/pallas_grid_attn.py), xla = shift/softmax "
+                    "chain (ice pixelwise workload only)")
     ap.add_argument("--no-fused-gates", action="store_true",
                     help="per-gate vmapped conv stacks instead of the "
                     "fused gate stacks (A/B knob)")
@@ -375,7 +401,8 @@ def main():
         fps = measure_ice(mesh, batch=args.batch if args.batch != 16 else 1,
                           n_steps=args.ice_steps, dtype=args.dtype,
                           remat=remat, detail_out=d,
-                          fused_gates=False if args.no_fused_gates else None)
+                          fused_gates=False if args.no_fused_gates else None,
+                          grid_attn=args.grid_attn)
         print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
         print(json.dumps({
             "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "

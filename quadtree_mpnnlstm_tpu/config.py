@@ -97,6 +97,11 @@ class GraphConfig:
     # runs attention convolutions (Transformer/MHTransformer), whose
     # gather→edge-softmax→scatter chain the fused kernel replaces.
     attn_windows: bool = False
+    # With aggregation="grid": backend for the attention convs' stencil
+    # softmax chain — "pallas" fuses shifts/softmax/dropout/weighted-sum
+    # into one VMEM kernel (ops/pallas_grid_attn.py; α never hits HBM, so
+    # attention-map dumps need "xla"), "xla" keeps the shift/where chain.
+    grid_attn: str = "xla"
     # dtype of aggregation message payloads; "bfloat16" halves the SpMM's
     # HBM traffic at ~0.4% rounding (replaces the QTM_BF16_MSG env toggle)
     message_dtype: str = "float32"
@@ -116,6 +121,7 @@ class GraphConfig:
         )
         assert self.condition in CONDITIONS, self.condition
         assert self.aggregation in ("xla", "pallas", "grid"), self.aggregation
+        assert self.grid_attn in ("xla", "pallas"), self.grid_attn
         if self.aggregation == "grid":
             assert self.pixelwise, (
                 "aggregation='grid' needs the pixelwise mesh (thresh=-inf); "

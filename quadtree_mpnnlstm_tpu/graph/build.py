@@ -325,6 +325,7 @@ def grid_graph(
         agg=("grid", rows, cols, 8 if cfg.edges_at_corners else 4),
         msg_dtype=cfg.message_dtype,
         mapping_identity=True,
+        grid_attn_fused=cfg.grid_attn == "pallas",
     )
 
     data = flatten(img, graph)  # (t, p, c) — reshape+mask on this mapping

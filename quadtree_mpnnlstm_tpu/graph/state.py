@@ -90,6 +90,11 @@ class GraphTensors:
     # pixels invalid): flatten/unflatten become reshapes (grid backend)
     mapping_identity: bool = struct.field(pytree_node=False, default=False)
 
+    # grid backend: route attention convs through the fused Pallas stencil
+    # kernel (ops/pallas_grid_attn.py) instead of the XLA shift/softmax
+    # chain (GraphConfig.grid_attn)
+    grid_attn_fused: bool = struct.field(pytree_node=False, default=False)
+
     @property
     def n_max(self) -> int:
         return self.counts.shape[0]

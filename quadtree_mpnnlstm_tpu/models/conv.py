@@ -222,6 +222,32 @@ def multi_stream_attention(
         out = attn_apply(q, k, v, we, keep, graph.attn_meta, dims)
         return out.reshape(n, heads, d), None
 
+    if graph.agg[0] == "grid" and graph.grid_attn_fused:
+        from quadtree_mpnnlstm_tpu.ops.pallas_grid_attn import (
+            GridAttnDims,
+            grid_attn_apply,
+        )
+
+        _, rows, cols, ndirs = graph.agg
+        p = rows * cols
+        if we is None:
+            e_dir = jnp.zeros((ndirs, heads * d), q.dtype)
+        else:
+            e_dir = graph.grid_attr.astype(q.dtype) @ we  # (D, heads·d)
+        valid = graph.node_valid.astype(q.dtype).reshape(p, 1)
+        has_keep = rng is not None and not deterministic and dropout > 0.0
+        if has_keep:
+            # same draw as the XLA chain below ((D, rows, cols, heads)),
+            # so the two backends agree bit-for-bit under one rng
+            keep = jax.random.bernoulli(
+                rng, 1.0 - dropout, (ndirs, rows, cols, heads)
+            ).astype(jnp.float32).reshape(ndirs, p, heads) / (1.0 - dropout)
+        else:
+            keep = None
+        dims = GridAttnDims(rows, cols, heads, d, ndirs, has_keep)
+        out = grid_attn_apply(q, k, v, e_dir, valid, keep, dims)
+        return out.reshape(p, heads, d), None
+
     if graph.agg[0] == "grid":
         from quadtree_mpnnlstm_tpu.ops.grid import (
             neighbor_valid,

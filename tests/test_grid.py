@@ -153,3 +153,114 @@ def test_seq2seq_grid_matches_xla(conv_type):
     np.testing.assert_allclose(
         np.asarray(y_g), np.asarray(y_x), rtol=1e-4, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------- fused kernel
+
+
+def _fused_pair(**kw):
+    return (
+        GraphConfig(image_shape=SHAPE, thresh=NEG_INF, aggregation="grid",
+                    grid_attn="xla", **kw),
+        GraphConfig(image_shape=SHAPE, thresh=NEG_INF, aggregation="grid",
+                    grid_attn="pallas", **kw),
+    )
+
+
+@pytest.mark.parametrize("heads,corners", [(1, False), (3, False), (1, True)])
+def test_fused_grid_attn_matches_xla_chain(heads, corners):
+    """ops/pallas_grid_attn fwd + grads == the XLA shift/softmax chain."""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+
+    mask = _mask(seed=5)
+    img = _img(t=1)
+    cfg_x, cfg_p = _fused_pair(edges_at_corners=corners)
+    gx, _ = image_to_graph(img, cfg_x, mask=mask)
+    gp, _ = image_to_graph(img, cfg_p, mask=mask)
+
+    d = 8
+    p = SHAPE[0] * SHAPE[1]
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.standard_normal((p, heads * d)).astype(
+        np.float32)) for _ in range(3))
+    we = jnp.asarray(rng.standard_normal((2, heads * d)).astype(np.float32))
+
+    def loss(g):
+        def f(q, k, v, we):
+            out, _ = multi_stream_attention(q, k, v, we, g, heads, d)
+            return jnp.sum(jnp.sin(out) * jnp.arange(p)[:, None, None])
+
+        return f(q, k, v, we), jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, we)
+
+    lx, gradx = loss(gx)
+    lp, gradp = loss(gp)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    for a, b in zip(gradx, gradp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_fused_grid_attn_dropout_matches_xla_chain():
+    """Same rng key ⇒ the fused kernel and the XLA chain draw the same
+    dropout keep planes and agree exactly."""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+
+    mask = _mask(seed=7)
+    img = _img(t=1)
+    cfg_x, cfg_p = _fused_pair()
+    gx, _ = image_to_graph(img, cfg_x, mask=mask)
+    gp, _ = image_to_graph(img, cfg_p, mask=mask)
+
+    heads, d = 2, 4
+    p = SHAPE[0] * SHAPE[1]
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.standard_normal((p, heads * d)).astype(
+        np.float32)) for _ in range(3))
+    key = jax.random.PRNGKey(3)
+
+    outs = []
+    for g in (gx, gp):
+        out, _ = multi_stream_attention(
+            q, k, v, None, g, heads, d,
+            dropout=0.4, deterministic=False, rng=key,
+        )
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
+
+
+def test_seq2seq_fused_grid_attn_matches_xla(conv_type="TransformerConv"):
+    """Full pixelwise TransformerConv model: fused stencil kernel ==
+    XLA chain through training-style apply + grads."""
+    mask = _mask(seed=9, p=0.15)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.random((2, *SHAPE, 1)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, *SHAPE, 1)).astype(np.float32))
+
+    cfg = ModelConfig(
+        hidden_size=6, input_features=1, input_timesteps=2,
+        output_timesteps=3, n_layers=1, n_conv_layers=2,
+        convolution_type=conv_type, dropout=0.0,
+    )
+    cfg_x, cfg_p = _fused_pair(use_edge_attrs=True)
+    model_x = Seq2Seq(cfg, cfg_x)
+    model_p = Seq2Seq(cfg, cfg_p)
+    params = model_x.init(jax.random.PRNGKey(0), x, mask=mask)
+
+    def loss(m):
+        def f(p_):
+            return jnp.mean((m.apply(p_, x, mask=mask) - y) ** 2)
+
+        return jax.value_and_grad(f)(params)
+
+    lx, gx_ = loss(model_x)
+    lp, gp_ = loss(model_p)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    md = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), gx_, gp_
+            )
+        )
+    )
+    assert md < 1e-4, md
