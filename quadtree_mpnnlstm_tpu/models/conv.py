@@ -222,7 +222,15 @@ def multi_stream_attention(
         out = attn_apply(q, k, v, we, keep, graph.attn_meta, dims)
         return out.reshape(n, heads, d), None
 
-    if graph.agg[0] == "grid" and graph.grid_attn_fused:
+    if (
+        graph.agg[0] == "grid"
+        and graph.grid_attn_fused
+        # the single-program kernel keeps ~8 (P, H) f32 buffers live in
+        # VMEM (q, padded k/v, padded dk/dv, dq, g, out); very wide
+        # stacks (e.g. gates-as-heads H = 2·G·heads·d) exceed the budget
+        # — those fall back to the XLA chain
+        and 8 * graph.agg[1] * graph.agg[2] * heads * d * 4 <= 80 * 2**20
+    ):
         from quadtree_mpnnlstm_tpu.ops.pallas_grid_attn import (
             GridAttnDims,
             grid_attn_apply,
