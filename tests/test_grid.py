@@ -264,3 +264,32 @@ def test_seq2seq_fused_grid_attn_matches_xla(conv_type="TransformerConv"):
         )
     )
     assert md < 1e-4, md
+
+
+def test_fused_grid_attn_isolated_pixel():
+    """A valid pixel with every neighbour masked has an empty softmax —
+    both backends must emit exactly zero aggregation there (the conv's
+    root/skip term is added outside)."""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+
+    mask_np = np.ones(SHAPE, bool)
+    mask_np[4, 6] = False            # isolated valid pixel
+    mask_np[10:13, 10:13] = False    # a normal valid patch
+    mask_np[10, 11] = True           # poke a hole inside the patch
+    mask = jnp.asarray(mask_np)
+    img = _img(t=1)
+    cfg_x, cfg_p = _fused_pair()
+    heads, d = 1, 8
+    p = SHAPE[0] * SHAPE[1]
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.standard_normal((p, heads * d)).astype(
+        np.float32)) for _ in range(3))
+
+    outs = []
+    for cfg in (cfg_x, cfg_p):
+        g, _ = image_to_graph(img, cfg, mask=mask)
+        out, _ = multi_stream_attention(q, k, v, None, g, heads, d)
+        outs.append(np.asarray(out.reshape(*SHAPE, heads * d)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-6)
+    assert np.allclose(outs[1][4, 6], 0.0)          # no neighbours
+    assert np.abs(outs[1][11, 11]).max() > 0        # patch aggregates
