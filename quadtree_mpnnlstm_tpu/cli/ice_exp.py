@@ -238,6 +238,12 @@ def main(argv=None):
     parser.add_argument("--t-out", type=int, default=None,
                         help="decoder rollout length (default: 90 real "
                         "data / 10 synthetic; the flagship uses 90)")
+    parser.add_argument("--grid-attn", default="xla",
+                        choices=["xla", "pallas"],
+                        help="pixelwise grid backend: 'pallas' routes "
+                        "attention convs through the fused stencil kernel "
+                        "(ops/pallas_grid_attn.py; attention-map dumps "
+                        "need 'xla')")
     parser.add_argument("--results-dir", default=None)
     args = parser.parse_args(argv)
 
@@ -333,7 +339,8 @@ def main(argv=None):
         # grid stencil backend — the fast path at the 224×304 flagship
         # scale; preset-mesh experiments keep the edge-list backend
         graph_kwargs=(
-            None if cfg["preset_mesh"] else dict(aggregation="grid")
+            None if cfg["preset_mesh"]
+            else dict(aggregation="grid", grid_attn=args.grid_attn)
         ),
     )
     print("Num. parameters:", model.get_n_params())
