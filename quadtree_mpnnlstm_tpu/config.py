@@ -220,6 +220,14 @@ class ModelConfig:
     remesh_every: int = 1
     concat_layers_dim: int = 1
     fused_gates: bool = True  # shared-aggregation gate convs (models/fused.py)
+    # NaN localization (ref graph_functions.py:626-627 asserts + the
+    # commented torch.autograd.set_detect_anomaly, ice_profile.py:26): when
+    # True, checkify.check()s inside the encoder/decoder scan bodies name
+    # the module and rollout step that first produced a non-finite value,
+    # instead of the trainer's epoch-end "NaN loss :(". Enabled by
+    # NextFramePredictorS2S(debug=True); requires the caller to run the
+    # model under checkify (the trainer's debug train step does).
+    debug_nan: bool = False
     # Mixed-precision compute: "bfloat16" runs all matmuls/aggregations and
     # the graph pipeline in bf16 (params stay float32 masters — the trainer
     # casts them at use; LayerNorm statistics and the loss stay float32).

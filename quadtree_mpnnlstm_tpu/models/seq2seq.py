@@ -55,6 +55,23 @@ from quadtree_mpnnlstm_tpu.models.conv import (
 from quadtree_mpnnlstm_tpu.utils.posenc import add_positional_encoding
 
 
+def _debug_check_finite(cfg: ModelConfig, value, message: str, **fmt):
+    """NaN localization (ModelConfig.debug_nan): functionalized
+    ``checkify.check`` naming the module/step that first went non-finite —
+    the TPU-native stand-in for the reference's graph-input NaN asserts
+    (graph_functions.py:626-627) and ``set_detect_anomaly``
+    (ice_profile.py:26). No-op (and no tracing cost) unless debug_nan."""
+    if not cfg.debug_nan:
+        return
+    from jax.experimental import checkify
+
+    leaves = jax.tree_util.tree_leaves(value)
+    ok = jnp.asarray(True)
+    for leaf in leaves:
+        ok = ok & jnp.isfinite(leaf).all()
+    checkify.check(ok, message, **fmt)
+
+
 @struct.dataclass
 class Seq2SeqState:
     """Scan carry: current mesh, node input, per-layer recurrent state.
@@ -238,6 +255,11 @@ class _EncoderScanStep(nn.Module):
         hidden, cell = carry
         enc = Encoder(self.cfg, name="encoder")
         hidden, cell = enc(x_t, graph, hidden, cell, self.deterministic)
+        _debug_check_finite(
+            self.cfg, hidden,
+            "non-finite hidden state in module=encoder (fixed-mesh scan "
+            "step); inputs or encoder weights went NaN",
+        )
         return (hidden, cell), None
 
 
@@ -259,6 +281,11 @@ class _EncoderRemeshStep(nn.Module):
         enc = Encoder(self.cfg, name="encoder")
         hidden, cell = enc(
             state.x, state.graph, state.hidden, state.cell, self.deterministic
+        )
+        _debug_check_finite(
+            self.cfg, hidden,
+            "non-finite hidden state in module=encoder (remesh_input scan "
+            "step); inputs or encoder weights went NaN",
         )
         shape = self.gcfg.image_shape
 
@@ -339,6 +366,11 @@ class _DecoderScanStep(nn.Module):
         output, hidden, cell = dec(
             state.x, graph, concat, state.hidden, state.cell,
             self.deterministic,
+        )
+        _debug_check_finite(
+            cfg, output,
+            "non-finite output in module=decoder at rollout step t={t}",
+            t=t,
         )
         y_hat_t = unflatten(output, graph, shape, fill=0.0)
 
@@ -505,6 +537,11 @@ class Seq2Seq(nn.Module):
         # features, recurrence) runs in cfg.compute_dtype; predictions are
         # cast back to f32 in decode().
         x_pe = add_positional_encoding(x.astype(cfg.cdtype))
+        _debug_check_finite(
+            cfg, x,
+            "NaN in graph input x (module=encode; ref "
+            "graph_functions.py:626)",
+        )
 
         if cfg.remesh_input and graph_structure is None:
             graph, data = image_to_graph(

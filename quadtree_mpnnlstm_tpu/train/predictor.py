@@ -109,7 +109,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         debug: bool = False,
         use_climatology: bool = False,
         teacher_forcing_ratio: float = 0.0,  # ref train() uses 0 (:237)
-        seed: int = 21,
+        seed: Optional[int] = None,  # default 21 (ref ice_exp.py:29-31)
         model_kwargs: Optional[Dict[str, Any]] = None,
         graph_kwargs: Optional[Dict[str, Any]] = None,
         dp_devices: int = 1,
@@ -133,11 +133,12 @@ class NextFramePredictorS2S(NextFramePredictor):
 
         # Optional TrainConfig: supplies optimisation defaults for train()
         # and the model compute dtype (TrainConfig.dtype → compute_dtype).
-        # An explicitly passed ``seed`` wins over train_config.seed
-        # (advisor round-2: silent override surprised callers).
+        # Seed resolution: explicit seed > train_config.seed > 21 — an
+        # explicitly passed seed always wins, even seed=21 (advisor round-3:
+        # the old `seed == 21` sentinel silently overrode it).
         self.train_config = train_config
-        if train_config is not None and seed == 21:
-            seed = train_config.seed
+        if seed is None:
+            seed = train_config.seed if train_config is not None else 21
 
         mk = dict(model_kwargs or {})
         self.cfg = ModelConfig(
@@ -155,6 +156,9 @@ class NextFramePredictorS2S(NextFramePredictor):
             remesh_input=remesh_input,
             remesh_every=mk.pop("remesh_every", 1),
             fused_gates=mk.pop("fused_gates", True),
+            # debug=True turns on NaN localization inside the scan bodies
+            # (checkify; the debug train step functionalizes the checks)
+            debug_nan=mk.pop("debug_nan", debug),
             compute_dtype=mk.pop(
                 "compute_dtype",
                 train_config.dtype if train_config is not None else "float32",
@@ -174,6 +178,19 @@ class NextFramePredictorS2S(NextFramePredictor):
             use_edge_attrs=self.cfg.uses_edge_attrs,
             **gk,
         )
+        if (
+            self.gcfg.aggregation == "grid"
+            and self.cfg.convolution_type in ("GATConv", "GATv2Conv")
+        ):
+            # GAT needs an edge-list mesh (self-loop insertion); falling
+            # back here gives a reference pixelwise GAT experiment a
+            # working backend instead of a ValueError from inside jit
+            # (models/conv.py raises; same fallback as test_threshold)
+            print(
+                f"{self.cfg.convolution_type} is unsupported on the dense "
+                "grid stencil backend; falling back to aggregation='xla'"
+            )
+            self.gcfg = self.gcfg.replace(aggregation="xla")
         if (
             self.gcfg.aggregation == "pallas"
             and self.cfg.convolution_type
@@ -195,7 +212,11 @@ class NextFramePredictorS2S(NextFramePredictor):
             self.gcfg = self.gcfg.replace(carry_edges=False)
 
         common = dict(
-            cfg=self.cfg,
+            # debug_nan checks are trace-invalid outside checkify, so the
+            # train/eval models never carry them; only the dedicated
+            # debug_model below does (used for the checkified forward
+            # replay in the debug train step).
+            cfg=self.cfg.replace(debug_nan=False),
             gcfg=self.gcfg,
             transform_func=transform_func,
             use_climatology=use_climatology,
@@ -210,6 +231,13 @@ class NextFramePredictorS2S(NextFramePredictor):
             **common,
         )
         self.eval_model = Seq2Seq(deterministic=True, **common)
+        self.debug_model = None
+        if self.cfg.debug_nan:
+            self.debug_model = Seq2Seq(
+                deterministic=False,
+                teacher_forcing_ratio=teacher_forcing_ratio,
+                **dict(common, cfg=self.cfg),
+            )
 
         # Data-parallel training over the first ``dp_devices`` devices
         # (gradient pmean over ICI; new capability vs the reference's
@@ -315,53 +343,61 @@ class NextFramePredictorS2S(NextFramePredictor):
                 return jnp.zeros((), jnp.int32)
             return jax.lax.stop_gradient(ovf)
 
-        def sample_loss(params, x, y, clim, mask, hir, gs, rng):
-            # mixed precision needs no param handling here: the model's
-            # layers carry ModelConfig.compute_dtype and cast the f32
-            # master params at use (grads come back f32).
-            # Returns (loss, rollout-max mesh-capacity overflow).
-            rngs = {"dropout": rng[0], "sampling": rng[1]}
-            clim_arg = clim if self.use_climatology else None
-            if len(chunks) == 1:
-                state = model.apply(
-                    params, x,
-                    mask=mask, high_interest_region=hir, graph_structure=gs,
-                    rngs=rngs, method=Seq2Seq.encode,
-                )
-                state, y_hat = model.apply(
-                    params, state, 0, self.output_timesteps, y, clim_arg,
-                    mask, hir, rngs=rngs, method=Seq2Seq.decode,
-                )
-                return loss_func(y_hat, y, mask), _graph_overflow(state)
-            # Truncated BPTT: re-encode per chunk (ref mpnnlstm.py:281-315),
-            # rematerialise each chunk's rollout; loss = Σ chunk means (the
-            # reference's per-chunk backward accumulates exactly this grad).
-            total = 0.0
-            ovf = jnp.zeros((), jnp.int32)
-            for t0, n in chunks:
-                state = model.apply(
-                    params, x,
-                    mask=mask, high_interest_region=hir, graph_structure=gs,
-                    rngs=rngs, method=Seq2Seq.encode,
-                )
-
-                def chunk_fn(p, s, yc, cc, t0=t0, n=n):
-                    s, y_hat = model.apply(
-                        p, s, t0, n, yc,
-                        cc if self.use_climatology else None,
-                        mask, hir,
-                        rngs=rngs, method=Seq2Seq.decode,
+        def make_sample_loss(model):
+            def sample_loss(params, x, y, clim, mask, hir, gs, rng):
+                # mixed precision needs no param handling here: the model's
+                # layers carry ModelConfig.compute_dtype and cast the f32
+                # master params at use (grads come back f32).
+                # Returns (loss, rollout-max mesh-capacity overflow).
+                rngs = {"dropout": rng[0], "sampling": rng[1]}
+                clim_arg = clim if self.use_climatology else None
+                if len(chunks) == 1:
+                    state = model.apply(
+                        params, x,
+                        mask=mask, high_interest_region=hir,
+                        graph_structure=gs,
+                        rngs=rngs, method=Seq2Seq.encode,
                     )
-                    return y_hat, _graph_overflow(s)
+                    state, y_hat = model.apply(
+                        params, state, 0, self.output_timesteps, y, clim_arg,
+                        mask, hir, rngs=rngs, method=Seq2Seq.decode,
+                    )
+                    return loss_func(y_hat, y, mask), _graph_overflow(state)
+                # Truncated BPTT: re-encode per chunk (ref
+                # mpnnlstm.py:281-315), rematerialise each chunk's rollout;
+                # loss = Σ chunk means (the reference's per-chunk backward
+                # accumulates exactly this grad).
+                total = 0.0
+                ovf = jnp.zeros((), jnp.int32)
+                for t0, n in chunks:
+                    state = model.apply(
+                        params, x,
+                        mask=mask, high_interest_region=hir,
+                        graph_structure=gs,
+                        rngs=rngs, method=Seq2Seq.encode,
+                    )
 
-                y_c = jax.lax.dynamic_slice_in_dim(y, t0, n, axis=0)
-                c_c = jax.lax.dynamic_slice_in_dim(clim, t0, n, axis=0)
-                y_hat, chunk_ovf = jax.checkpoint(chunk_fn)(
-                    params, state, y_c, c_c
-                )
-                ovf = jnp.maximum(ovf, chunk_ovf)
-                total = total + loss_func(y_hat, y_c, mask)
-            return total, ovf
+                    def chunk_fn(p, s, yc, cc, t0=t0, n=n):
+                        s, y_hat = model.apply(
+                            p, s, t0, n, yc,
+                            cc if self.use_climatology else None,
+                            mask, hir,
+                            rngs=rngs, method=Seq2Seq.decode,
+                        )
+                        return y_hat, _graph_overflow(s)
+
+                    y_c = jax.lax.dynamic_slice_in_dim(y, t0, n, axis=0)
+                    c_c = jax.lax.dynamic_slice_in_dim(clim, t0, n, axis=0)
+                    y_hat, chunk_ovf = jax.checkpoint(chunk_fn)(
+                        params, state, y_c, c_c
+                    )
+                    ovf = jnp.maximum(ovf, chunk_ovf)
+                    total = total + loss_func(y_hat, y_c, mask)
+                return total, ovf
+
+            return sample_loss
+
+        sample_loss = make_sample_loss(model)
 
         debug = self.debug
         dp = self.dp_devices
@@ -441,7 +477,55 @@ class NextFramePredictorS2S(NextFramePredictor):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux
 
-        step = jax.jit(train_step, donate_argnums=(0, 1))
+        if debug:
+            # NaN localization (ModelConfig.debug_nan): checkify user-checks
+            # inside a lax.scan body are silently discharged by jax.grad
+            # (verified by bisection: grad+scan and grad+remat+scan drop
+            # them; forward-only scan/remat keep them). So the grad step
+            # runs unchecked, and when its loss comes back non-finite we
+            # REPLAY the forward alone under checkify — same params, same
+            # rng — which raises naming the module and rollout step that
+            # first went non-finite, instead of the reference's epoch-end
+            # "NaN loss :(" (ref mpnnlstm.py:363-364). Zero overhead until
+            # something actually breaks; no donation so params survive for
+            # the replay.
+            from jax.experimental import checkify
+
+            debug_sample_loss = make_sample_loss(self.debug_model)
+
+            def fwd_loss(params, x, y, clim, mask, hir, gs, rng):
+                keys = jax.random.split(rng, x.shape[0] * 2).reshape(
+                    x.shape[0], 2, 2
+                )
+                losses, _ = jax.vmap(
+                    lambda xb, yb, cb, kb: debug_sample_loss(
+                        params, xb, yb, cb, mask, hir, gs, kb
+                    )
+                )(x, y, clim, keys)
+                return jnp.mean(losses)
+
+            checked_fwd = jax.jit(
+                checkify.checkify(fwd_loss, errors=checkify.user_checks)
+            )
+            plain = jax.jit(train_step)
+
+            def step(params, opt_state, x, y, clim, mask, hir, gs, rng):
+                out = plain(
+                    params, opt_state, x, y, clim, mask, hir, gs, rng
+                )
+                if not np.isfinite(float(out[2])):
+                    err, _ = checked_fwd(
+                        params, x, y, clim, mask, hir, gs, rng
+                    )
+                    err.throw()  # names the failing module / rollout step
+                    raise ValueError(
+                        "non-finite loss but all forward checks passed — "
+                        "the NaN arose in the backward pass or the "
+                        "optimizer update"
+                    )
+                return out
+        else:
+            step = jax.jit(train_step, donate_argnums=(0, 1))
         self._steps[key] = step
         return step
 

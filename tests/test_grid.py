@@ -293,3 +293,39 @@ def test_fused_grid_attn_isolated_pixel():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-6)
     assert np.allclose(outs[1][4, 6], 0.0)          # no neighbours
     assert np.abs(outs[1][11, 11]).max() > 0        # patch aggregates
+
+
+def test_gat_on_grid_falls_back_to_xla(capsys):
+    """A reference pixelwise GAT experiment must construct and run, not
+    raise from inside jit (models/conv.py grid guardrail): the predictor
+    auto-falls back to the edge-list backend (VERDICT r3 #9)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+    model = NextFramePredictorS2S(
+        image_shape=(8, 8),
+        thresh=float("-inf"),
+        decompose=False,
+        input_features=1,
+        input_timesteps=2,
+        output_timesteps=2,
+        model_kwargs=dict(hidden_size=4, n_layers=1, n_conv_layers=1,
+                          convolution_type="GATConv"),
+        graph_kwargs=dict(aggregation="grid"),
+    )
+    assert model.gcfg.aggregation == "xla"
+    assert "falling back" in capsys.readouterr().out
+    model.initiate_training(lr=0.01, lr_decay=0.95)
+    step = model._get_train_step(False, 0)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 2, 8, 8, 1),
+                                                    np.float32))
+    y = jnp.asarray(np.random.default_rng(1).random((1, 2, 8, 8, 1),
+                                                    np.float32))
+    clim = jnp.zeros((1, 2, 8, 8, 1))
+    mask = jnp.zeros((8, 8), bool)
+    out = step(model.params, model.opt_state, x, y, clim, mask, mask, None,
+               jax.random.PRNGKey(0))
+    assert np.isfinite(float(out[2]))
