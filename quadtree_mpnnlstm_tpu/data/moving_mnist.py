@@ -4,17 +4,20 @@ Capability parity: ref data/mod_moving_mnist.py:8-161 — bouncing digits on a
 canvas with velocity noise, multi-digit max-compositing, and additive pixel
 noise; returns x (N, T_in, w, h, 1), y (N, T_out, w, h, 1), frame ids.
 
-This environment has no network access, so instead of downloading MNIST
-(the reference pulls it through fastai, ref :47-48) digits are rasterised
-from a built-in 5×7 bitmap font and scaled with nearest-neighbour — the same
-"structured sprite moving on a noisy canvas" workload, fully reproducible.
-Real MNIST can be plugged in by passing ``sprites`` (an array of (h, w)
-grayscale digits in [0, 1]).
+The reference downloads MNIST through fastai and resizes with cv2
+(ref :47-53). This environment has no network access, so the default
+sprites are a committed set of *real handwritten digits* (the UCI
+hand-written digit scans bundled with scikit-learn, cv2-resized to MNIST's
+28×28 — see baselines/gen_digit_sprites.py) loaded from
+``digit_sprites.npz``; no download, no runtime cv2/sklearn dependency.
+Pass ``sprites="font"`` for the legacy 5×7 bitmap font (rounds 1-3), or an
+explicit sequence of (h, w) grayscale arrays in [0, 1] (e.g. real MNIST).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+import os
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -42,13 +45,38 @@ def _font_digit(d: int) -> np.ndarray:
 
 
 def _resize_nearest(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """Nearest-neighbour resize (stands in for the reference's cv2 resize,
-    ref :50-53)."""
+    """Nearest-neighbour resize (used for the blocky bitmap font)."""
     h, w = img.shape
     out_h, out_w = size
     ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return img[np.ix_(ri, ci)]
+
+
+def _resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize (the reference's cv2.resize default interpolation,
+    ref :50-53) — used for the grayscale handwriting sprites."""
+    h, w = img.shape
+    out_h, out_w = size
+    yi = np.linspace(0.0, h - 1.0, out_h)
+    xi = np.linspace(0.0, w - 1.0, out_w)
+    y0 = np.floor(yi).astype(int)
+    x0 = np.floor(xi).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (yi - y0).astype(np.float32)[:, None]
+    fx = (xi - x0).astype(np.float32)[None, :]
+    top = img[np.ix_(y0, x0)] * (1 - fx) + img[np.ix_(y0, x1)] * fx
+    bot = img[np.ix_(y1, x0)] * (1 - fx) + img[np.ix_(y1, x1)] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+def load_digit_sprites() -> list:
+    """The committed real-handwriting sprite set: 50 digits (5 per class),
+    28×28 float32 in [0, 1] (see module docstring / gen_digit_sprites.py)."""
+    path = os.path.join(os.path.dirname(__file__), "digit_sprites.npz")
+    with np.load(path) as z:
+        return [s.astype(np.float32) / 255.0 for s in z["sprites"]]
 
 
 class ModMovingMNIST:
@@ -60,7 +88,7 @@ class ModMovingMNIST:
         digit_size: Tuple[int, int] = (12, 12),
         pixel_noise: float = 0.05,
         velocity_noise: float = 0.25,
-        sprites: Optional[Sequence[np.ndarray]] = None,
+        sprites: Optional[Union[str, Sequence[np.ndarray]]] = None,
         seed: int = 0,
     ):
         self.canvas_size = tuple(canvas_size)
@@ -68,13 +96,19 @@ class ModMovingMNIST:
         self.pixel_noise = pixel_noise
         self.velocity_noise = velocity_noise
         self.rng = np.random.default_rng(seed)
+        self._smooth = True  # bilinear resize for grayscale handwriting
         if sprites is None:
+            sprites = load_digit_sprites()
+        elif isinstance(sprites, str):
+            assert sprites == "font", f"unknown sprite set {sprites!r}"
             sprites = [_font_digit(d) for d in range(10)]
+            self._smooth = False  # nearest keeps the bitmap font crisp
         self.sprites = [np.asarray(s, dtype=np.float32) for s in sprites]
 
     def get_rand_digit(self) -> np.ndarray:
         s = self.sprites[self.rng.integers(len(self.sprites))]
-        return _resize_nearest(s, self.digit_size)
+        resize = _resize_bilinear if self._smooth else _resize_nearest
+        return resize(s, self.digit_size)
 
     def get_random_trajectory(self, seq_length: int):
         """Bouncing trajectory with per-step velocity noise (ref :72-113)."""
@@ -135,11 +169,9 @@ class ModMovingMNIST:
             assert self.canvas_size[0] == self.canvas_size[1], (
                 "native generator assumes a square canvas"
             )
+            resize = _resize_bilinear if self._smooth else _resize_nearest
             sprites = np.stack(
-                [
-                    _resize_nearest(s, self.digit_size)
-                    for s in self.sprites
-                ]
+                [resize(s, self.digit_size) for s in self.sprites]
             )
             vids = native_ext.moving_sprites(
                 sprites, num_samples, t_total, self.canvas_size[0],
