@@ -125,18 +125,26 @@ def save_mesh_png(model, x, hir, path):
 
 
 def load_real_dataset(data_glob: str):
-    try:
-        import glob
+    """Combined ERA5+GLORYS year files → (GriddedDataset, land mask).
 
+    Prefers xarray (ref ice_exp.py:115-125 reads ``open_mfdataset``
+    output); without it, netCDF4 files are read directly through h5py
+    (data/netcdf_io.py) — same layout, no extra dependencies.
+    """
+    import glob
+
+    paths = glob.glob(data_glob)
+    try:
         import xarray as xr
-    except ImportError as e:
-        raise ImportError(
-            "Real ERA5/GLORYS data requires xarray; run with --synthetic "
-            "or install xarray+netcdf4."
-        ) from e
-    ds = xr.open_mfdataset(glob.glob(data_glob))
-    mask = np.isnan(ds["siconc"].isel(time=0)).values
-    return GriddedDataset.from_xarray(ds), mask
+
+        ds = xr.open_mfdataset(paths)
+        gridded = GriddedDataset.from_xarray(ds)
+    except ImportError:
+        from quadtree_mpnnlstm_tpu.data.netcdf_io import read_netcdf_many
+
+        gridded = read_netcdf_many(paths)
+    mask = np.isnan(gridded.variables["siconc"][0])
+    return gridded, mask
 
 
 def synthetic_dataset(shape=(32, 32), years=(2007, 2018), seed=21):
@@ -258,12 +266,15 @@ def main(argv=None):
     output_timesteps = args.t_out or (90 if not args.synthetic else 10)
 
     if args.synthetic:
+        if args.synthetic_years < 2:
+            parser.error("--synthetic-years must be >= 2 (one train year "
+                         "plus one held-out test year)")
         # training_years below slices [2007, 2013); clamp to generated span
         y1 = 2007 + args.synthetic_years
         ds, mask = synthetic_dataset(
             shape=tuple(args.shape), years=(2007, y1)
         )
-        training_years = range(2007, min(2013, y1 - 1))
+        training_years = range(2007, max(2008, min(2013, y1 - 1)))
         hir = None if args.no_hir else synthetic_hir(mask.shape)
     else:
         ds, mask = load_real_dataset(args.data_glob)
@@ -359,10 +370,22 @@ def main(argv=None):
             input_timesteps=input_timesteps,
             output_timesteps=output_timesteps,
             transform_func=dist_from_05,
-            use_climatology=False,
+            # The reference trains its coarse phase without climatology
+            # (ref :203-208, climatology_half commented out at :107) but
+            # reuses ONE model for both phases, which needs one decoder
+            # head width; with use_climatology the head takes an extra
+            # concat channel, so the half model must match the full model
+            # (verified: a False/True mismatch makes the warm-start
+            # transplant fail on the head's (32 vs 33)-wide params).
+            # Deviation: the coarse phase gets the coarse climatology.
+            use_climatology=True,
             model_kwargs=dict(
                 hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
                 rnn_type="LSTM", convolution_type=cfg["convolution_type"],
+                # must match the full model's fused_gates choice or the
+                # warm-start param-tree transplant below fails (fused stacks
+                # have a 'gates' tree; per-gate stacks have conv_x/conv_h)
+                fused_gates=bool(cfg["preset_mesh"]),
             ),
             graph_kwargs=dict(aggregation="grid"),
         )
@@ -375,6 +398,7 @@ def main(argv=None):
         model_half.train(
             DataLoader(half_train, args.batch_size, shuffle=True, seed=21),
             DataLoader(half_test, args.batch_size),
+            climatology_from_dataset(coarse, "siconc"),
             lr=cfg["lr"], n_epochs=5, mask=mask_half,
             truncated_backprop=cfg["truncated_backprop"],
         )

@@ -76,3 +76,48 @@ def test_sweep_commands():
     cmds = sweep_commands(months=(6, 7), exp=3, extra_args=("--synthetic",))
     assert len(cmds) == 2
     assert cmds[0][-3:] == ["-e", "3", "--synthetic"]
+
+
+def test_multires_warmstart_transplant_transformerconv():
+    """exp-3 multires warm-start: the half-res model's param tree must be
+    transplantable onto the full-res model (``model.params = half.params``,
+    cli/ice_exp.py). Advisor round-3 (high): the half model used to leave
+    fused_gates at its default True while the full model passed False, so
+    with TransformerConv (ATTN_FUSABLE) the trees diverged and exp 3
+    crashed at the transplant. Mirrors ice_exp's kwargs for exp=3."""
+    import jax
+
+    from quadtree_mpnnlstm_tpu.cli.ice_exp import (
+        NEG_INF,
+        dist_from_05,
+        experiment_config,
+    )
+    from quadtree_mpnnlstm_tpu.train.predictor import NextFramePredictorS2S
+
+    cfg = experiment_config(3)
+    assert cfg["multires_training"] and not cfg["preset_mesh"]
+    common = dict(
+        thresh=NEG_INF,
+        input_features=5,
+        input_timesteps=2,
+        output_timesteps=2,
+        transform_func=dist_from_05,
+        # both phases must agree (False/True widens the decoder head by
+        # the climatology concat channel and breaks the transplant)
+        use_climatology=True,
+        model_kwargs=dict(
+            hidden_size=8, dropout=0.1, n_layers=1, n_conv_layers=3,
+            rnn_type="LSTM", convolution_type=cfg["convolution_type"],
+            fused_gates=bool(cfg["preset_mesh"]),
+        ),
+        graph_kwargs=dict(aggregation="grid"),
+    )
+    model = NextFramePredictorS2S(image_shape=(16, 24), **common)
+    model_half = NextFramePredictorS2S(image_shape=(8, 12), **common)
+    model.get_n_params()  # materialize both param trees
+    model_half.get_n_params()
+
+    full_shapes = jax.tree.map(lambda a: a.shape, model.params)
+    half_shapes = jax.tree.map(lambda a: a.shape, model_half.params)
+    assert full_shapes == half_shapes  # graph convs are resolution-agnostic
+    model.params = model_half.params  # the exp-3 warm-start assignment
