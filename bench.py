@@ -306,7 +306,8 @@ def ice_mask(shape=ICE_SHAPE, seed=0):
 
 def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
                        conv="TransformerConv", budget=16384,
-                       fused_gates=True, grid_attn="xla"):
+                       fused_gates=True, grid_attn="xla",
+                       adjacency="sort"):
     from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
@@ -329,6 +330,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
                 max_grid_size=8, n_max=budget, e_max=8 * budget,
                 node_budget=budget, aggregation=agg,
                 agg_nt=128, agg_eb=2048, agg_sw=2048,
+                adjacency=adjacency,
             ),
         )
     return NextFramePredictorS2S(
@@ -349,7 +351,8 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
 
 def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
-                seed=0, fused_gates=None, grid_attn="xla"):
+                seed=0, fused_gates=None, grid_attn="xla",
+                adjacency="sort"):
     """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
     if fused_gates is None:
         # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
@@ -381,7 +384,7 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
 
     model = make_ice_predictor(mesh, dtype, remat, conv,
                                fused_gates=fused_gates,
-                               grid_attn=grid_attn)
+                               grid_attn=grid_attn, adjacency=adjacency)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -497,6 +500,11 @@ def main():
                     help="grid-backend attention: pallas = fused stencil "
                     "kernel (ops/pallas_grid_attn.py), xla = shift/softmax "
                     "chain (ice pixelwise workload only)")
+    ap.add_argument("--adjacency", default="sort",
+                    choices=["sort", "csum"],
+                    help="quadtree edge dedup: sort = lexicographic "
+                    "(dst,src) sort; csum = sort-free canonical counting "
+                    "scatter (graph/adjacency.py; ice-quadtree workload)")
     ap.add_argument("--no-fused-gates", action="store_true",
                     help="per-gate vmapped conv stacks instead of the "
                     "fused gate stacks (A/B knob)")
@@ -543,7 +551,8 @@ def main():
                           n_steps=args.ice_steps, dtype=args.dtype,
                           remat=remat, detail_out=d,
                           fused_gates=False if args.no_fused_gates else None,
-                          grid_attn=args.grid_attn)
+                          grid_attn=args.grid_attn,
+                          adjacency=args.adjacency)
         print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
         EMITTER.set_headline({
             "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "

@@ -114,6 +114,17 @@ class GraphConfig:
     # per-iteration DMA latency — the predictor sets this False when safe
     # (attention convs and the XLA/CSR backends still need them).
     carry_edges: bool = True
+    # Edge dedup/grouping algorithm for quadtree meshes:
+    #   "sort" — lexicographic (dst, src) sort of all shifted pixel pairs
+    #            (4P keys) then mark-first dedup;
+    #   "csum" — sort-free: each distinct cell pair is emitted exactly once
+    #            from a canonical boundary pixel, and edges are packed
+    #            dst-grouped by a counting scatter (cumsum ranks). Same
+    #            edge set, different within-destination order. XLA sorts
+    #            are the dominant remesh cost inside the decoder scan, so
+    #            this is the fast path for remeshing workloads. 4-neighbour
+    #            meshes only (edges_at_corners falls back to "sort").
+    adjacency: str = "sort"
 
     def __post_init__(self):
         assert _is_power_of_two(self.max_grid_size), (
@@ -122,6 +133,7 @@ class GraphConfig:
         assert self.condition in CONDITIONS, self.condition
         assert self.aggregation in ("xla", "pallas", "grid"), self.aggregation
         assert self.grid_attn in ("xla", "pallas"), self.grid_attn
+        assert self.adjacency in ("sort", "csum"), self.adjacency
         if self.aggregation == "grid":
             assert self.pixelwise, (
                 "aggregation='grid' needs the pixelwise mesh (thresh=-inf); "

@@ -50,6 +50,7 @@ def build_adjacency(
     node_xy: jnp.ndarray,
     cfg: GraphConfig,
     dedup: bool = True,
+    src_view: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Edges from a (rows, cols) node-id image (sentinel = cfg.n_max).
 
@@ -58,6 +59,10 @@ def build_adjacency(
       node_xy: (n_max, 2) node centroid positions for edge attributes.
       dedup: pixel-wise meshes have all-unique pairs, so the sort can be
         skipped (ref fast path: graph_functions.py:471-503).
+      src_view: also build the src-sorted permutation (a second e_max-sized
+        sort) — only needed when the edge list survives the build
+        (GraphConfig.carry_edges); attention-window configs discard it, and
+        inside the 90-step remeshing scan that sort is pure waste.
 
     Returns:
       (edge_src, edge_dst, edge_valid, edge_attr, n_edges), capacity e_max.
@@ -108,7 +113,138 @@ def build_adjacency(
     # observable by the builder's overflow counter, not silently clamped.
     n_edges_raw = n_edges
     n_edges = jnp.minimum(n_edges, e_max)
-    src_sorted, src_perm = source_sorted_view(edge_src)
+    if src_view:
+        src_sorted, src_perm = source_sorted_view(edge_src)
+    else:
+        src_sorted = jnp.full((e_max,), n_max, jnp.int32)
+        src_perm = jnp.zeros((e_max,), jnp.int32)
+    return (edge_src, edge_dst, edge_valid, edge_attr, n_edges, src_perm,
+            src_sorted, n_edges_raw)
+
+
+def build_adjacency_canonical(
+    node_img: jnp.ndarray,
+    level: jnp.ndarray,
+    node_xy: jnp.ndarray,
+    cfg: GraphConfig,
+    src_view: bool = True,
+):
+    """Sort-free adjacency for quadtree meshes (``GraphConfig.adjacency="csum"``).
+
+    The "sort" path dedups 4P shifted pixel pairs with a lexicographic
+    (dst, src) sort — the dominant remesh cost inside the 90-step decoder
+    scan at ice scale. This formulation needs no sort:
+
+    * **Canonical emission.** Two distinct cells A→B that share a boundary
+      are emitted exactly once, from the boundary pixel pair at the start
+      of the shared span: for horizontal neighbours the pixel in row
+      ``max(top_A, top_B)``, for vertical ones the pixel in column
+      ``max(left_A, left_B)`` (cells are axis-aligned rectangles — clipped
+      squares — so the pair is unique by construction). A multi-pixel cell
+      emits one self-loop from its anchor pixel (reference keeps exactly
+      one, ref graph_functions.py:329-333); singletons emit none.
+    * **Counting scatter.** Per-destination degrees come from segment
+      sums; exclusive cumsums give each destination a contiguous slot
+      range, and each edge's rank within its (destination, direction)
+      group is a column/row prefix-sum difference — so edges land
+      dst-grouped (what segment reductions and attention windows need)
+      without ever sorting.
+
+    Same edge *set* as ``build_adjacency(dedup=True)``; the within-
+    destination order differs (group-major instead of src-ascending),
+    which no consumer depends on. 4-neighbour meshes only.
+
+    Args:
+      node_img: (rows, cols) per-pixel node ids (sentinel = n_max).
+      level: (rows, cols) per-pixel quadtree level (decompose_levels).
+    """
+    assert not cfg.edges_at_corners, "csum adjacency is 4-neighbour only"
+    rows, cols = node_img.shape
+    n_max = cfg.n_max
+    e_max = cfg.e_max
+    g = cfg.max_grid_size
+
+    size = (g >> level).astype(jnp.int32)
+    r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ar = jnp.bitwise_and(r, ~(size - 1))
+    ac = jnp.bitwise_and(c, ~(size - 1))
+    w = jnp.minimum(ac + size, cols) - ac  # clipped cell width
+    valid = node_img < n_max
+
+    def shift(img, dr, dc, fill):
+        out = jnp.roll(img, (-dr, -dc), (0, 1))
+        ok = (r + dr >= 0) & (r + dr < rows) & (c + dc >= 0) & (c + dc < cols)
+        return jnp.where(ok, out, fill)
+
+    def excl_cumsum(x, axis):
+        cum = jnp.cumsum(x.astype(jnp.int32), axis=axis)
+        return cum - x.astype(jnp.int32)
+
+    # Group 0: self-loops. A multi-pixel cell's anchor pixel emits (u, u)
+    # once; width-1 (right-clipped) cells fall back to the vertical pair.
+    same_right = shift(node_img, 0, 1, n_max) == node_img
+    same_down = shift(node_img, 1, 0, n_max) == node_img
+    at_anchor = (r == ar) & (c == ac)
+    self_canon = valid & at_anchor & (same_right | ((w == 1) & same_down))
+    groups = [(self_canon, node_img, jnp.zeros_like(node_img))]
+
+    for dr, dc in _SHIFTS_4:
+        nq = shift(node_img, dr, dc, n_max)
+        pair_ok = valid & (nq < n_max) & (nq != node_img)
+        if dr == 0:  # horizontal boundary: span starts at max of tops
+            arq = shift(ar, dr, dc, 0)
+            canon = pair_ok & (r == jnp.maximum(ar, arq))
+            base = jnp.take_along_axis(
+                excl_cumsum(canon, 0), arq, axis=0
+            )
+            rank = excl_cumsum(canon, 0) - base
+        else:  # vertical boundary: span starts at max of lefts
+            acq = shift(ac, dr, dc, 0)
+            canon = pair_ok & (c == jnp.maximum(ac, acq))
+            base = jnp.take_along_axis(
+                excl_cumsum(canon, 1), acq, axis=1
+            )
+            rank = excl_cumsum(canon, 1) - base
+        groups.append((canon, nq, rank))
+
+    # Per-destination degrees -> contiguous dst-grouped slot ranges.
+    def deg_of(canon, dst):
+        ids = jnp.where(canon, dst, n_max).reshape(-1)
+        return jax.ops.segment_sum(
+            canon.astype(jnp.int32).reshape(-1), ids, num_segments=n_max + 1
+        )[:n_max]
+
+    degs = [deg_of(canon, dst) for canon, dst, _ in groups]
+    deg_total = sum(degs)
+    offsets = jnp.cumsum(deg_total) - deg_total  # exclusive, per dst
+    n_edges_raw = jnp.sum(deg_total).astype(jnp.int32)
+
+    sent_fill = jnp.full((e_max,), n_max, jnp.int32)
+    edge_src = sent_fill
+    edge_dst = sent_fill
+    edge_valid = jnp.zeros((e_max,), bool)
+
+    group_base = offsets
+    src_flat = node_img.reshape(-1)
+    for (canon, dst, rank), deg in zip(groups, degs):
+        dst_flat = dst.reshape(-1)
+        canon_flat = canon.reshape(-1)
+        dst_safe = jnp.minimum(dst_flat, n_max - 1)
+        slot = jnp.take(group_base, dst_safe) + rank.reshape(-1)
+        slot = jnp.where(canon_flat & (slot < e_max), slot, e_max)
+        edge_src = edge_src.at[slot].set(src_flat, mode="drop")
+        edge_dst = edge_dst.at[slot].set(dst_flat, mode="drop")
+        edge_valid = edge_valid.at[slot].set(canon_flat, mode="drop")
+        group_base = group_base + deg
+
+    edge_attr = edge_attributes(edge_src, edge_dst, edge_valid, node_xy, cfg)
+    n_edges = jnp.minimum(n_edges_raw, e_max)
+    if src_view:
+        src_sorted, src_perm = source_sorted_view(edge_src)
+    else:
+        src_sorted = sent_fill
+        src_perm = jnp.zeros((e_max,), jnp.int32)
     return (edge_src, edge_dst, edge_valid, edge_attr, n_edges, src_perm,
             src_sorted, n_edges_raw)
 

@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from quadtree_mpnnlstm_tpu.config import GraphConfig
-from quadtree_mpnnlstm_tpu.graph.adjacency import build_adjacency
+from quadtree_mpnnlstm_tpu.graph.adjacency import (
+    build_adjacency,
+    build_adjacency_canonical,
+)
 from quadtree_mpnnlstm_tpu.graph.quadtree import decompose_levels, pixel_nodes_from_levels
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten
 from quadtree_mpnnlstm_tpu.ops.segment import segment_sum_nodes
@@ -65,6 +68,7 @@ def _assemble(
     cfg: GraphConfig,
     cell_size_feature: jnp.ndarray,
     dedup: bool,
+    level: Optional[jnp.ndarray] = None,
 ) -> Tuple[GraphTensors, jnp.ndarray]:
     t = img.shape[0]
     n_max = cfg.n_max
@@ -92,10 +96,27 @@ def _assemble(
     node_xy = _node_positions(data[0], cfg)
 
     node_img = pixel_node.reshape(cfg.image_shape)
-    (edge_src, edge_dst, edge_valid, edge_attr, n_edges,
-     src_perm, src_sorted, n_edges_raw) = build_adjacency(
-        node_img, node_xy, cfg, dedup=dedup
+    # When the edge list doesn't survive the build (carry_edges=False,
+    # attention-window configs), its src-sorted view and symmetric-norm
+    # coefficients are discarded below — skip computing them: each is an
+    # e_max-sized sort / segment pass repeated every remesh scan step.
+    need_src_view = cfg.carry_edges or cfg.max_degree > 0
+    use_csum = (
+        cfg.adjacency == "csum"
+        and dedup
+        and level is not None
+        and not cfg.edges_at_corners
     )
+    if use_csum:
+        (edge_src, edge_dst, edge_valid, edge_attr, n_edges,
+         src_perm, src_sorted, n_edges_raw) = build_adjacency_canonical(
+            node_img, level, node_xy, cfg, src_view=need_src_view
+        )
+    else:
+        (edge_src, edge_dst, edge_valid, edge_attr, n_edges,
+         src_perm, src_sorted, n_edges_raw) = build_adjacency(
+            node_img, node_xy, cfg, dedup=dedup, src_view=need_src_view
+        )
 
     # Append the normalised cell-size channel (ref: graph_functions.py:661-668).
     sizes = jnp.broadcast_to(cell_size_feature[None, :, None], (t, n_max, 1))
@@ -111,9 +132,13 @@ def _assemble(
         src_perm=src_perm,
         src_sorted=src_sorted,
     )
-    from quadtree_mpnnlstm_tpu.models.conv import compute_sym_norm
+    need_sym = cfg.carry_edges or (
+        cfg.aggregation == "pallas" and not cfg.attn_windows
+    )
+    if need_sym:
+        from quadtree_mpnnlstm_tpu.models.conv import compute_sym_norm
 
-    graph = graph.replace(sym_coeff=compute_sym_norm(graph))
+        graph = graph.replace(sym_coeff=compute_sym_norm(graph))
 
     # -- capacity-overflow accounting (dropped nodes/edges/window misses) ----
     overflow = (
@@ -232,7 +257,8 @@ def image_to_graph(
     half_base = (cfg.max_grid_size / 2.0) ** 2
     cell_sizes = counts / half_base
     return _tag_mesh(
-        *_assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes, dedup=True)
+        *_assemble(pixel_node, n_nodes, counts, img, cfg, cell_sizes,
+                   dedup=True, level=level)
     )
 
 
