@@ -163,6 +163,7 @@ def _predictor(adjacency, conv):
     )
 
 
+@pytest.mark.slow
 def test_csum_train_step_matches_sort():
     """One full fwd+bwd+Adam step on a remeshing quadtree model gives the
     same loss/params under both adjacency backends. ChebConv: its
@@ -196,6 +197,7 @@ def test_csum_train_step_matches_sort():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_csum_transformer_forward_matches_sort():
     """Deterministic TransformerConv rollout (encode + 3 remeshing decode
     steps) matches across backends to float-reorder tolerance — attention

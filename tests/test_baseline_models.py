@@ -1,6 +1,7 @@
 """CNN-LSTM and MPNNLSTM(I) baseline model tests (SURVEY.md §2.3, §3.5)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_cnnlstm_single_step():
     assert out.shape == (1, 8, 8, 1)
 
 
+@pytest.mark.slow
 def test_cnn_predictor_trains():
     ds = ModMovingMNISTDataset(
         6, input_timesteps=2, output_timesteps=2,
@@ -84,6 +86,7 @@ def test_mpnnlstmi_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_baseline_models_bf16():
     """compute dtype threads through the non-seq2seq families: outputs stay
     f32, values agree with f32 compute to bf16 precision."""

@@ -4,6 +4,7 @@ ModelConfig.compute_dtype / TrainConfig.dtype (SURVEY.md §2.7 "bf16 on TPU").
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def test_bf16_close_to_f32():
     assert np.mean(np.abs(y32 - y16)) < 0.03
 
 
+@pytest.mark.slow
 def test_bf16_training_via_train_config():
     """TrainConfig.dtype drives the predictor's mixed-precision step: master
     params stay f32, one step runs, loss is finite and near the f32 loss."""
@@ -100,6 +102,7 @@ def test_bf16_training_via_train_config():
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.02
 
 
+@pytest.mark.slow
 def test_bf16_training_converges_like_f32():
     """CI-sized twin of baselines/bf16_quality.py: a short training run in
     both dtypes on identical data must reach comparable loss (the full

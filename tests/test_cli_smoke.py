@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_mnist_demo_runs(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from quadtree_mpnnlstm_tpu.cli import mnist_demo
@@ -20,6 +21,7 @@ def test_mnist_demo_runs(tmp_path, monkeypatch):
     assert np.isfinite(scores["RMSE"])
 
 
+@pytest.mark.slow
 def test_ice_exp_synthetic_runs(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from quadtree_mpnnlstm_tpu.cli import ice_exp
@@ -61,6 +63,7 @@ def test_hir_densifies_corridor():
     assert int(g_on.n_nodes) > int(g_off.n_nodes)
 
 
+@pytest.mark.slow
 def test_ice_profile_runs(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     from quadtree_mpnnlstm_tpu.cli import ice_profile
@@ -78,6 +81,7 @@ def test_sweep_commands():
     assert cmds[0][-3:] == ["-e", "3", "--synthetic"]
 
 
+@pytest.mark.slow
 def test_multires_warmstart_transplant_transformerconv():
     """exp-3 multires warm-start: the half-res model's param tree must be
     transplantable onto the full-res model (``model.params = half.params``,

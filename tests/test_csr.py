@@ -2,6 +2,7 @@
 and the degree-bound guarantee on real quadtree meshes."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +142,7 @@ def test_csr_degree_truncation_is_loud():
     assert int(g_bad.overflow) >= expected
 
 
+@pytest.mark.slow
 def test_model_grads_csr_vs_scatter():
     """Full-model gradient parity: CSR graphs vs max_degree=0 fallback."""
     from quadtree_mpnnlstm_tpu.config import ModelConfig

@@ -65,6 +65,7 @@ def _one_step(model, poison_needle=None):
                 jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_nan_decoder_weight_names_decoder_step():
     model = _tiny_predictor(debug=True)
     with pytest.raises(Exception) as exc_info:
@@ -74,6 +75,7 @@ def test_nan_decoder_weight_names_decoder_step():
     assert "t=0" in msg  # first rollout step
 
 
+@pytest.mark.slow
 def test_nan_encoder_weight_names_encoder():
     model = _tiny_predictor(debug=True)
     with pytest.raises(Exception) as exc_info:
@@ -81,6 +83,7 @@ def test_nan_encoder_weight_names_encoder():
     assert "module=encoder" in str(exc_info.value)
 
 
+@pytest.mark.slow
 def test_debug_clean_step_passes_and_matches():
     """A clean debug step runs, and the checks don't change the numbers."""
     loss_dbg = float(_one_step(_tiny_predictor(debug=True))[2])

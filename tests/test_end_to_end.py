@@ -28,6 +28,7 @@ def test_moving_mnist_dataset_shapes():
     assert ds.x.max() > 0.5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("conv_type", ["ChebConv", "TransformerConv"])
 def test_train_loss_decreases(conv_type):
     ds_train = make_data(8, seed=1)
@@ -62,6 +63,7 @@ def test_train_loss_decreases(conv_type):
     assert np.isfinite(scores["RMSE"])
 
 
+@pytest.mark.slow
 def test_pixelwise_mode_and_mask():
     """decompose=False ⇒ thresh=-inf pixelwise path (ref mpnnlstm.py:47)."""
     shape = (12, 12)
@@ -86,6 +88,7 @@ def test_pixelwise_mode_and_mask():
     assert np.all(preds[:, :, mask] == 0)
 
 
+@pytest.mark.slow
 def test_truncated_backprop_matches_ref_chunking():
     ds = make_data(4)
     loader = DataLoader(ds, batch_size=2)
@@ -143,6 +146,7 @@ def test_test_threshold_runs():
     assert out is not None
 
 
+@pytest.mark.slow
 def test_binary_mode_bce():
     """binary=True ⇒ sigmoid head + BCE loss (ref mpnnlstm.py:171,
     seq2seq.py:177-178)."""

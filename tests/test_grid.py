@@ -122,7 +122,13 @@ def test_attention_map_grid_layout():
 
 
 @pytest.mark.parametrize(
-    "conv_type", ["GCNConv", "ChebConv", "TransformerConv", "MHTransformerConv"]
+    "conv_type",
+    [
+        "GCNConv",
+        pytest.param("ChebConv", marks=pytest.mark.slow),
+        pytest.param("TransformerConv", marks=pytest.mark.slow),
+        pytest.param("MHTransformerConv", marks=pytest.mark.slow),
+    ],
 )
 def test_seq2seq_grid_matches_xla(conv_type):
     """Full pixelwise model: identical predictions from the grid stencil
@@ -229,6 +235,7 @@ def test_fused_grid_attn_dropout_matches_xla_chain():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_seq2seq_fused_grid_attn_matches_xla(conv_type="TransformerConv"):
     """Full pixelwise TransformerConv model: fused stencil kernel ==
     XLA chain through training-style apply + grads."""
@@ -295,6 +302,7 @@ def test_fused_grid_attn_isolated_pixel():
     assert np.abs(outs[1][11, 11]).max() > 0        # patch aggregates
 
 
+@pytest.mark.slow
 def test_gat_on_grid_falls_back_to_xla(capsys):
     """A reference pixelwise GAT experiment must construct and run, not
     raise from inside jit (models/conv.py grid guardrail): the predictor

@@ -234,6 +234,7 @@ def test_netcdf_roundtrip_to_gridded(tmp_path):
     assert np.isnan(ds.variables["siconc"][:, mask]).all()
 
 
+@pytest.mark.slow
 def test_netcdf_to_train_step(tmp_path):
     """File → IceDataset window slicing → one jitted train step."""
     import jax

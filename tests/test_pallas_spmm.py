@@ -163,6 +163,7 @@ def test_edge_overflow_counted():
     assert int(g_tight.overflow) > 0
 
 
+@pytest.mark.slow
 def test_overflow_surfaces_through_train_step():
     """Rollout-max overflow is accumulated through the scan carry and
     returned in the train step's aux dict (VERDICT r1 item 6: undersized
@@ -198,6 +199,7 @@ def test_overflow_surfaces_through_train_step():
         assert (ovf > 0) == expect_overflow, (n_max, e_max, ovf)
 
 
+@pytest.mark.slow
 def test_slim_carry_edges_training():
     """With the pallas backend and GCN/Cheb convs, the predictor drops the
     edge list from built graphs (GraphConfig.carry_edges=False) — the Â

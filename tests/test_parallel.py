@@ -1,6 +1,7 @@
 """Data-parallel training on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from quadtree_mpnnlstm_tpu.parallel.dp import shard_batch
 from quadtree_mpnnlstm_tpu.train.losses import masked_mse
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_matches_single_device():
     n_dev = jax.device_count()
     assert n_dev >= 2, "conftest should provide 8 virtual CPU devices"
@@ -64,6 +66,7 @@ def test_dp_train_step_runs_and_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_through_predictor_api_matches_single_device():
     """VERDICT r1 item 4: DP must be reachable from the L4 trainer. Train
     two predictors — dp_devices=4 vs 1 — with identical seeds/data for two

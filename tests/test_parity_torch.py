@@ -39,6 +39,7 @@ def _assert_parity(rep):
     assert abs(rep["torch_rollout_mse"] - rep["jax_rollout_mse"]) < 1e-3, rep
 
 
+@pytest.mark.slow
 def test_transplant_forward_parity_at_init():
     xs, ys = _videos(2)
     torch.manual_seed(3)
@@ -49,6 +50,7 @@ def test_transplant_forward_parity_at_init():
     _assert_parity(rep)
 
 
+@pytest.mark.slow
 def test_transplant_forward_parity_after_training():
     xs, ys = _videos(6, seed=1)
     xs_tr, ys_tr = xs[:4], ys[:4]

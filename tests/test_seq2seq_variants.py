@@ -47,7 +47,12 @@ def test_rnn_types(rnn):
 # 'Dummy' convs inside LSTM cells require input dim == hidden (the
 # reference has the same constraint); covered by test_dummy_model_mode.
 @pytest.mark.parametrize(
-    "conv", ["MHTransformerConv", "GATConv", "GATv2Conv"]
+    "conv",
+    [
+        pytest.param("MHTransformerConv", marks=pytest.mark.slow),
+        pytest.param("GATConv", marks=pytest.mark.slow),
+        "GATv2Conv",  # one attention-conv variant stays in the core tier
+    ],
 )
 def test_conv_types(conv):
     model = build(conv=conv)
@@ -162,6 +167,7 @@ def test_decoder_residual_head():
     assert np.abs(out).max() <= 2.0  # |tanh| ≤ 1 and values ≤ 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["mesh", "dots", "none"])
 def test_remat_modes_grad_equivalence(mode):
     """Every remat policy computes the same loss/gradients as full remat.
