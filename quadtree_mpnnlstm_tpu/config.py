@@ -250,9 +250,13 @@ class ModelConfig:
     def cdtype(self):
         import jax.numpy as jnp
 
-        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-            self.compute_dtype
-        ]
+        # float64 is a test-only mode (requires jax_enable_x64): used to
+        # separate structural from reassociation error in equivalence tests
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "float64": jnp.float64,
+        }[self.compute_dtype]
 
     @property
     def node_input_features(self) -> int:
@@ -289,6 +293,15 @@ class TrainConfig:
     # predictor when a TrainConfig is passed (NextFramePredictorS2S
     # train_config=...). "bfloat16" = mixed precision (f32 masters).
     dtype: str = "float32"
+    # Shared-mesh batched training: the whole batch rides ONE quadtree per
+    # step (criterion = max over the batch — the batch analogue of the
+    # builder's timestep-max, ref graph_functions.py:632) and node tensors
+    # take the batch-middle (n_max, B, F) layout, so every aggregation
+    # widens with B instead of dispatching per sample and the mesh build
+    # amortises across the batch. Deviation from per-sample meshes (the
+    # reference trains batch=1 and has no batch semantics to match);
+    # eval/predict stay per-sample. See models/seq2seq.py batched paths.
+    shared_mesh: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

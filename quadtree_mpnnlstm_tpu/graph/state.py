@@ -180,6 +180,61 @@ def unflatten(
     return img.reshape(data.shape[:-2] + (rows, cols, data.shape[-1]))
 
 
+def flatten_nb(img: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
+    """Pixel→node mean pooling in the batch-middle node layout.
+
+    Args:
+      img: (rows, cols, B, C) — batch rides *between* the pixel grid and the
+        feature axis, so the node axis stays axis 0 downstream (the layout
+        shared-mesh batched training keeps every node tensor in; see
+        models/seq2seq.py batched paths).
+    Returns:
+      (n_max, B, C) node features; padded node rows are exactly zero.
+    """
+    rows, cols, b, c = img.shape
+    p = rows * cols
+    n_max = graph.n_max
+    flat = img.reshape(p, b, c)
+    if graph.mapping_identity:
+        return jnp.where(graph.node_valid[:, None, None], flat,
+                         jnp.zeros((), img.dtype))
+    summed = jax.ops.segment_sum(
+        flat.reshape(p, b * c), graph.pixel_node, num_segments=n_max + 1
+    )[:n_max]
+    mean = (summed / jnp.maximum(graph.counts, 1.0)[:, None]).astype(img.dtype)
+    return mean.reshape(n_max, b, c)
+
+
+def unflatten_nb(
+    data: jnp.ndarray,
+    graph: GraphTensors,
+    image_shape: Tuple[int, int],
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Node→pixel scatter for batch-middle node tensors.
+
+    Args:
+      data: (n_max, B, C) node features (node axis 0 — the shared-mesh
+        batched layout; :func:`unflatten` gathers along axis -2 instead).
+    Returns:
+      (rows, cols, B, C).
+    """
+    rows, cols = image_shape
+    n_max = data.shape[0]
+    b, c = data.shape[1], data.shape[2]
+    if graph.mapping_identity:
+        img = jnp.where(
+            graph.node_valid[:, None, None], data,
+            jnp.asarray(fill, data.dtype),
+        )
+        return img.reshape(rows, cols, b, c)
+    idx = jnp.minimum(graph.pixel_node, n_max - 1)
+    img = jnp.take(data, idx, axis=0)
+    valid = (graph.pixel_node < n_max)[:, None, None]
+    img = jnp.where(valid, img, jnp.asarray(fill, data.dtype))
+    return img.reshape(rows, cols, b, c)
+
+
 def grouped_mean(arr: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Label-wise means of a 1-D array; -1 labels are excluded.
 

@@ -253,9 +253,10 @@ class SplitGConvLSTM(nn.Module):
         )(features=d, dtype=self.dtype, name="lstm")
         # flax LSTM carry is (c, h); scan over the node axis, unbatched.
         (c_fin, h_fin), outputs = lstm((c[0], h[0]), xc)
-        n = xc.shape[0]
-        h_new = jnp.broadcast_to(h_fin, (n, d))
-        c_new = jnp.broadcast_to(c_fin, (n, d))
+        # state slot shape follows the input (works for both the (N, d)
+        # per-sample and (N, B, d) batch-middle layouts)
+        h_new = jnp.broadcast_to(h_fin, xc.shape[:-1] + (d,))
+        c_new = jnp.broadcast_to(c_fin, xc.shape[:-1] + (d,))
         return outputs, h_new, c_new
 
 

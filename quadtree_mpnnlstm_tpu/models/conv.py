@@ -94,7 +94,15 @@ def a_mul(z: jnp.ndarray, graph: GraphTensors) -> jnp.ndarray:
     ``GraphConfig.message_dtype="bfloat16"`` halves aggregation bandwidth
     by carrying the per-edge messages in bf16 (sums of ≤degree values,
     ~0.4% rounding; replaces the round-1 QTM_BF16_MSG env toggle).
+
+    Â is feature-parallel, so a batch-middle ``(n, B, F)`` input (the
+    shared-mesh batched layout, models/seq2seq.py) folds into one
+    ``(n, B·F)`` call — batch widens the aggregation instead of
+    multiplying dispatches.
     """
+    if z.ndim == 3:
+        n, b, f = z.shape
+        return a_mul(z.reshape(n, b * f), graph).reshape(n, b, f)
     if graph.agg[0] == "grid":
         from quadtree_mpnnlstm_tpu.ops.grid import grid_a_mul
 
@@ -360,18 +368,29 @@ class TransformerConv(nn.Module):
             if (not deterministic and self.dropout > 0.0)
             else None
         )
+        batched = x.ndim == 3  # batch-middle (n, B, F): samples run as
+        if batched:            # extra heads of one call (shared mesh)
+            b = x.shape[1]
+            q, k, v = (t.reshape(n, b * h * d) for t in (q, k, v))
+            we = None if we is None else jnp.tile(we, (1, b))
         out, alpha = multi_stream_attention(
-            q, k, v, we, graph, h, d,
+            q, k, v, we, graph, (b * h) if batched else h, d,
             dropout=self.dropout, deterministic=deterministic, rng=rng,
         )
-        if alpha is not None:
+        if alpha is not None and not batched:
             # Debug side channel (ref model.py:79-93): per-edge α via flax
             # sow, materialised under mutable=["intermediates"]. The fused
             # Pallas path never materialises α (flash-style) — use
             # aggregation='xla' for attention-map dumps.
             self.sow("intermediates", "alpha", alpha)
 
-        out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
+        if batched:
+            out = out.reshape(n, b, h, d)
+        out = (
+            out.reshape(out.shape[:-2] + (h * d,))
+            if self.concat
+            else jnp.mean(out, axis=-2)
+        )
         if self.root_weight:
             skip_dim = h * d if self.concat else d
             out = out + _dense(skip_dim, use_bias=self.use_bias,
@@ -458,25 +477,35 @@ class _GATBase(nn.Module):
                 graph.edge_attr,
             )
         attr = attr.astype(x.dtype)  # stay in the compute dtype
+        # batch-middle (n, B, F) inputs keep the node axis 0; per-edge
+        # tensors then carry (E, B, h[, d]) and the edge projection (no
+        # batch axis of its own) broadcasts via an inserted axis
+        batched = x.ndim == 3
+
+        def heads_view(t):  # (..., h·d) → (..., h, d)
+            return t.reshape(t.shape[:-1] + (h, d))
+
+        def edge_bcast(e):  # (E, h, d) → (E, 1, h, d) when batched
+            return e[:, None] if batched else e
 
         if self.v2:
-            xl = _dense(h * d, use_bias=self.use_bias, name="lin_l",
-                        dtype=self.dtype)(x).reshape(n, h, d)
-            xr = _dense(h * d, use_bias=self.use_bias, name="lin_r",
-                        dtype=self.dtype)(x).reshape(n, h, d)
+            xl = heads_view(_dense(h * d, use_bias=self.use_bias,
+                                   name="lin_l", dtype=self.dtype)(x))
+            xr = heads_view(_dense(h * d, use_bias=self.use_bias,
+                                   name="lin_r", dtype=self.dtype)(x))
             feat = gather_rows(xl, src) + gather_rows(xr, dst)
             if self.edge_dim is not None:
                 e = _dense(h * d, use_bias=False, name="lin_edge",
                            dtype=self.dtype)(attr).reshape(-1, h, d)
-                feat = feat + e
+                feat = feat + edge_bcast(e)
             att = self.param("att", _glorot, (1, h, d)).astype(feat.dtype)
             logits = jnp.sum(
                 att * nn.leaky_relu(feat, self.negative_slope), axis=-1
             )
             src_feat = xl
         else:
-            xw = _dense(h * d, use_bias=False, name="lin",
-                        dtype=self.dtype)(x).reshape(n, h, d)
+            xw = heads_view(_dense(h * d, use_bias=False, name="lin",
+                                   dtype=self.dtype)(x))
             att_src = self.param("att_src", _glorot, (1, h, d)).astype(xw.dtype)
             att_dst = self.param("att_dst", _glorot, (1, h, d)).astype(xw.dtype)
             a = (gather_rows(jnp.sum(xw * att_src, -1), src)
@@ -487,7 +516,8 @@ class _GATBase(nn.Module):
                 att_edge = self.param(
                     "att_edge", _glorot, (1, h, d)
                 ).astype(e.dtype)
-                a = a + jnp.sum(e * att_edge, -1)
+                ea = jnp.sum(e * att_edge, -1)  # (E, h)
+                a = a + (ea[:, None] if batched else ea)
             logits = nn.leaky_relu(a, self.negative_slope)
             src_feat = xw
 
@@ -497,7 +527,11 @@ class _GATBase(nn.Module):
             alpha[..., None] * gather_rows(src_feat, src), dst, valid, n,
             indices_sorted=False,
         )
-        out = out.reshape(n, h * d) if self.concat else jnp.mean(out, axis=1)
+        out = (
+            out.reshape(out.shape[:-2] + (h * d,))
+            if self.concat
+            else jnp.mean(out, axis=-2)
+        )
         if self.use_bias:
             bias_dim = h * d if self.concat else d
             out = out + self.param(

@@ -50,6 +50,13 @@ def _glorot_batched(n_batch_axes: int):
     )
 
 
+def _lead_bias(b: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Reshape a (streams, width) bias for a stream-LEADING activation of
+    rank ``ndim`` — (s, 1, w) per-sample, (s, 1, 1, w) batch-middle.
+    (Stream-TRAILING activations broadcast ``b[None]`` natively.)"""
+    return b.reshape((b.shape[0],) + (1,) * (ndim - 2) + (b.shape[-1],))
+
+
 class FusedGateConvStack(nn.Module):
     """``conv_x_g(X) + conv_h_g(H)`` for ``n_gates`` gates with shared
     aggregations. Returns (n_gates, N, out_channels)."""
@@ -96,28 +103,37 @@ class FusedGateConvStack(nn.Module):
                 ts.append(2.0 * l_hat(ts[-1]) - ts[-2])
             return jnp.stack(ts)
 
+        # lead = everything between the stream axis and the feature axis:
+        # (N,) per-sample, (N, B) in the batch-middle shared-mesh layout
+        # (ellipsis einsums + a_mul's batch fold keep both ranks on the
+        # same code path; tests/test_shared_mesh.py proves equality)
+        lead = x.shape[:-1]
         if self.convolution_type == "ChebConv":
             fx, fh = x.shape[-1], h.shape[-1]
             # ---- layer 0: shared polynomials over [X ‖ H]
-            t = cheb_t(jnp.concatenate([x, h], axis=-1))  # (K, N, fx+fh)
+            t = cheb_t(jnp.concatenate([x, h], axis=-1))  # (K, *lead, fx+fh)
             wx = self.param("w_x_0", _glorot_batched(2), (g, self.K, fx, d))
             wh = self.param("w_h_0", _glorot_batched(2), (g, self.K, fh, d))
             bx = self.param("b_x_0", nn.initializers.zeros, (g, d))
             bh = self.param("b_h_0", nn.initializers.zeros, (g, d))
-            sx = jnp.einsum("knf,gkfo->gno", t[:, :, :fx], p(wx)) + p(bx)[:, None]
-            sh = jnp.einsum("knf,gkfo->gno", t[:, :, fx:], p(wh)) + p(bh)[:, None]
-            streams = jnp.concatenate([sx, sh], axis=0)  # (2g, N, d)
+            nd = 2 + len(lead)  # stream-leading activation rank
+            sx = jnp.einsum("k...f,gkfo->g...o", t[..., :fx], p(wx)) \
+                + _lead_bias(p(bx), nd)
+            sh = jnp.einsum("k...f,gkfo->g...o", t[..., fx:], p(wh)) \
+                + _lead_bias(p(bh), nd)
+            streams = jnp.concatenate([sx, sh], axis=0)  # (2g, *lead, d)
             # ---- deeper layers: one aggregation per tap over all streams
             for layer in range(1, self.n_layers):
-                s, n = streams.shape[0], streams.shape[1]
-                z = streams.transpose(1, 0, 2).reshape(n, s * d)
-                t = cheb_t(z).reshape(self.K, n, s, d)
+                s = streams.shape[0]
+                z = jnp.moveaxis(streams, 0, -2).reshape(lead + (s * d,))
+                t = cheb_t(z).reshape((self.K,) + lead + (s, d))
                 w = self.param(
                     f"w_{layer}", _glorot_batched(2), (s, self.K, d, d)
                 )
                 b = self.param(f"b_{layer}", nn.initializers.zeros, (s, d))
                 streams = (
-                    jnp.einsum("knsd,skdo->sno", t, p(w)) + p(b)[:, None]
+                    jnp.einsum("k...sd,skdo->s...o", t, p(w))
+                    + _lead_bias(p(b), nd)
                 )
         else:  # GCNConv: weights first, one aggregation over all streams
             fx, fh = x.shape[-1], h.shape[-1]
@@ -125,29 +141,32 @@ class FusedGateConvStack(nn.Module):
             wh = self.param("w_h_0", _glorot_batched(1), (g, fh, d))
             bx = self.param("b_x_0", nn.initializers.zeros, (g, d))
             bh = self.param("b_h_0", nn.initializers.zeros, (g, d))
-            n = x.shape[0]
             u = jnp.concatenate(
                 [
-                    jnp.einsum("nf,gfo->ngo", x, p(wx)),
-                    jnp.einsum("nf,gfo->ngo", h, p(wh)),
+                    jnp.einsum("...f,gfo->...go", x, p(wx)),
+                    jnp.einsum("...f,gfo->...go", h, p(wh)),
                 ],
-                axis=1,
-            )  # (N, 2g, d)
-            agg = a_mul(u.reshape(n, 2 * g * d)).reshape(n, 2 * g, d)
-            streams = agg.transpose(1, 0, 2) + jnp.concatenate(
-                [p(bx), p(bh)], 0
-            )[:, None]
+                axis=-2,
+            )  # (*lead, 2g, d)
+            agg = a_mul(u.reshape(lead + (2 * g * d,))).reshape(
+                lead + (2 * g, d)
+            )
+            nd = agg.ndim
+            streams = jnp.moveaxis(agg, -2, 0) + _lead_bias(
+                jnp.concatenate([p(bx), p(bh)], 0), nd
+            )
             for layer in range(1, self.n_layers):
                 s = streams.shape[0]
                 w = self.param(f"w_{layer}", _glorot_batched(1), (s, d, d))
                 b = self.param(f"b_{layer}", nn.initializers.zeros, (s, d))
-                u = jnp.einsum("snd,sdo->nso", streams, p(w)).reshape(n, s * d)
-                streams = (
-                    a_mul(u).reshape(n, s, d).transpose(1, 0, 2)
-                    + p(b)[:, None]
+                u = jnp.einsum("s...d,sdo->...so", streams, p(w)).reshape(
+                    lead + (s * d,)
                 )
+                streams = jnp.moveaxis(
+                    a_mul(u).reshape(lead + (s, d)), -2, 0
+                ) + _lead_bias(p(b), nd)
 
-        return streams[:g] + streams[g:]  # (g, N, d)
+        return streams[:g] + streams[g:]  # (g, *lead, d)
 
 
 class FusedAttnGateStack(nn.Module):
@@ -196,6 +215,11 @@ class FusedAttnGateStack(nn.Module):
         skip_dim = hd if mh else d
         n = x.shape[0]
         a = attr_dim(graph)
+        # batch-middle (n, B, F): samples run as extra heads of the same
+        # single attention call (B·s·heads total), mesh shared
+        batched = x.ndim == 3
+        nb = x.shape[1] if batched else 1
+        lead = x.shape[:-1]  # (n,) or (n, B)
 
         def p(w):
             return w if self.dtype is None else w.astype(self.dtype)
@@ -206,18 +230,21 @@ class FusedAttnGateStack(nn.Module):
             return self.make_rng("dropout")
 
         def attn(q_all, k_all, v_all, we_all):
+            we = jnp.moveaxis(we_all, 0, 1).reshape(a, s * hd)
+            if batched:
+                we = jnp.tile(we, (1, nb))
             out, _ = multi_stream_attention(
-                q_all.reshape(n, s * hd), k_all.reshape(n, s * hd),
-                v_all.reshape(n, s * hd),
-                jnp.moveaxis(we_all, 0, 1).reshape(a, s * hd),
-                graph, s * heads, d,
+                q_all.reshape(n, nb * s * hd), k_all.reshape(n, nb * s * hd),
+                v_all.reshape(n, nb * s * hd),
+                we,
+                graph, nb * s * heads, d,
                 dropout=drop, deterministic=deterministic, rng=rng(),
             )
-            # (n, s·heads, d) → per-stream heads: concat (MH) or mean
-            out = out.reshape(n, s, heads, d)
+            # (n, [B·]s·heads, d) → per-stream heads: concat (MH) or mean
+            out = out.reshape(lead + (s, heads, d))
             if mh:
-                return out.reshape(n, s, hd)
-            return jnp.mean(out, axis=2)
+                return out.reshape(lead + (s, hd))
+            return jnp.mean(out, axis=-2)
 
         fx, fh = x.shape[-1], h.shape[-1]
         gb = _glorot_batched(1)
@@ -227,16 +254,16 @@ class FusedAttnGateStack(nn.Module):
         def proj0(name, src, f, width):
             w = self.param(f"w_{name}_0", gb, (g, f, width))
             b = self.param(f"b_{name}_0", zeros, (g, width))
-            return jnp.einsum("nf,gfo->ngo", src, p(w)) + p(b)[None]
+            return jnp.einsum("...f,gfo->...go", src, p(w)) + p(b)[None]
 
         q_all = jnp.concatenate(
-            [proj0("q_x", x, fx, hd), proj0("q_h", h, fh, hd)], axis=1
+            [proj0("q_x", x, fx, hd), proj0("q_h", h, fh, hd)], axis=-2
         )
         k_all = jnp.concatenate(
-            [proj0("k_x", x, fx, hd), proj0("k_h", h, fh, hd)], axis=1
+            [proj0("k_x", x, fx, hd), proj0("k_h", h, fh, hd)], axis=-2
         )
         v_all = jnp.concatenate(
-            [proj0("v_x", x, fx, hd), proj0("v_h", h, fh, hd)], axis=1
+            [proj0("v_x", x, fx, hd), proj0("v_h", h, fh, hd)], axis=-2
         )
         we_all = jnp.concatenate(
             [
@@ -251,28 +278,28 @@ class FusedAttnGateStack(nn.Module):
         skip = jnp.concatenate(
             [
                 jnp.einsum(
-                    "nf,gfo->ngo", x,
+                    "...f,gfo->...go", x,
                     p(self.param("w_s_x_0", gb, (g, fx, skip_dim))),
                 ) + p(self.param("b_s_x_0", zeros, (g, skip_dim)))[None],
                 jnp.einsum(
-                    "nf,gfo->ngo", h,
+                    "...f,gfo->...go", h,
                     p(self.param("w_s_h_0", gb, (g, fh, skip_dim))),
                 ) + p(self.param("b_s_h_0", zeros, (g, skip_dim)))[None],
             ],
-            axis=1,
+            axis=-2,
         )
         streams = agg + skip  # (n, s, skip_dim)
         if mh:  # per-stream head-mixing linear (ref model.py:26-37)
             wm = self.param("w_mix_0", gb, (s, hd, d))
             bm = self.param("b_mix_0", zeros, (s, d))
-            streams = jnp.einsum("nsf,sfo->nso", streams, p(wm)) + p(bm)[None]
+            streams = jnp.einsum("...sf,sfo->...so", streams, p(wm)) + p(bm)[None]
 
         # ---- deeper layers: each stream keeps its own d-wide input
         for layer in range(1, self.n_layers):
             def projL(name, width, layer=layer):
                 w = self.param(f"w_{name}_{layer}", gb, (s, d, width))
                 b = self.param(f"b_{name}_{layer}", zeros, (s, width))
-                return jnp.einsum("nsf,sfo->nso", streams, p(w)) + p(b)[None]
+                return jnp.einsum("...sf,sfo->...so", streams, p(w)) + p(b)[None]
 
             agg = attn(projL("q", hd), projL("k", hd), projL("v", hd),
                        self.param(f"w_e_{layer}", gb, (s, a, hd)).astype(
@@ -282,8 +309,8 @@ class FusedAttnGateStack(nn.Module):
             if mh:
                 wm = self.param(f"w_mix_{layer}", gb, (s, hd, d))
                 bm = self.param(f"b_mix_{layer}", zeros, (s, d))
-                nxt = jnp.einsum("nsf,sfo->nso", nxt, p(wm)) + p(bm)[None]
+                nxt = jnp.einsum("...sf,sfo->...so", nxt, p(wm)) + p(bm)[None]
             streams = nxt
 
-        streams = jnp.moveaxis(streams, 1, 0)  # (s, n, d)
-        return streams[:g] + streams[g:]       # (g, n, d)
+        streams = jnp.moveaxis(streams, -2, 0)  # (s, *lead, d)
+        return streams[:g] + streams[g:]        # (g, *lead, d)

@@ -45,7 +45,13 @@ from flax import struct
 
 from quadtree_mpnnlstm_tpu.config import GraphConfig, ModelConfig
 from quadtree_mpnnlstm_tpu.graph.build import image_to_graph
-from quadtree_mpnnlstm_tpu.graph.state import GraphTensors, flatten, unflatten
+from quadtree_mpnnlstm_tpu.graph.state import (
+    GraphTensors,
+    flatten,
+    flatten_nb,
+    unflatten,
+    unflatten_nb,
+)
 from quadtree_mpnnlstm_tpu.models.cells import RNN_CELLS
 from quadtree_mpnnlstm_tpu.models.conv import (
     CONVOLUTION_KWARGS,
@@ -93,9 +99,12 @@ class Seq2SeqState:
 def _transfer_state(hc, old_graph, new_graph, shape):
     """Carry per-layer recurrent state across a remesh through pixel space:
     unflatten on the old mapping, flatten on the new (ref seq2seq.py:
-    434-491 does the same via dense mapping matmuls)."""
+    434-491 does the same via dense mapping matmuls). Batch-middle
+    (n, B, hidden) leaves ride the shared meshes through the _nb pair."""
 
     def one(h):
+        if h.ndim == 3:
+            return flatten_nb(unflatten_nb(h, old_graph, shape), new_graph)
         return flatten(unflatten(h, old_graph, shape)[None], new_graph)[0]
 
     return tuple(one(h) for h in hc)
@@ -238,7 +247,7 @@ class Decoder(nn.Module):
         if concat_layers is not None:
             output = jnp.concatenate([output, concat_layers], axis=-1)
         output = self.gnn_out(output, graph, deterministic)
-        output = jnp.tanh(output) + x[:, [0]]  # residual on previous value (ref :174)
+        output = jnp.tanh(output) + x[..., [0]]  # residual on previous value (ref :174)
         if cfg.binary:
             output = nn.sigmoid(output)
         return output, tuple(hs), tuple(cs)
@@ -290,13 +299,19 @@ class _EncoderRemeshStep(nn.Module):
         shape = self.gcfg.image_shape
 
         def remesh(_):
+            # batched (shared-mesh) steps carry (B, rows, cols, C) frames:
+            # ONE mesh from the batch-max criterion (the batch analogue of
+            # image_to_graph's timestep-max, ref graph_functions.py:632),
+            # node data in the batch-middle (n, B, C+1) layout
+            batched = next_frame.ndim == 4
             new_graph, data = image_to_graph(
-                next_frame[None],
+                next_frame if batched else next_frame[None],
                 self.gcfg,
                 mask=mask,
                 high_interest_region=hir,
                 transform_func=self.transform_func,
             )
+            new_x = jnp.moveaxis(data, 0, 1) if batched else data[0]
             # running max so the final state reports the whole rollout's
             # worst capacity overflow (surfaced by the trainer); None on
             # hand-built meshes
@@ -308,7 +323,7 @@ class _EncoderRemeshStep(nn.Module):
                 )
             return Seq2SeqState(
                 graph=new_graph,
-                x=data[0],
+                x=new_x,
                 hidden=_transfer_state(hidden, state.graph, new_graph, shape),
                 cell=_transfer_state(cell, state.graph, new_graph, shape),
             )
@@ -347,18 +362,26 @@ class _DecoderScanStep(nn.Module):
         # per-iteration DMA copies in the round-2 trace (PERF_NOTES).
         graph = state.graph if state.graph is not None else graph_const
 
+        # batch-middle (n, B, F) node tensors ⇒ shared-mesh batched rollout
+        batched = state.x.ndim == 3
+
         # -- concat layers (climatology or self-value, see module docstring)
         if self.use_climatology:
-            if clim_t.ndim == 2:
+            if clim_t.ndim == state.x.ndim:
                 # pre-flattened node-space climatology (hoisted out of the
                 # scan for fixed meshes — decode())
                 concat = clim_t.astype(state.x.dtype)
+            elif batched:
+                # (B, rows, cols, 1) → (n, B, 1)
+                concat = flatten_nb(
+                    jnp.moveaxis(clim_t, 0, 2).astype(state.x.dtype), graph
+                )
             else:
                 concat = flatten(
                     clim_t[None].astype(state.x.dtype), graph
                 )[0]
         elif remeshing:
-            concat = state.x[:, [0]]
+            concat = state.x[..., [0]]
         else:
             concat = None
 
@@ -372,7 +395,14 @@ class _DecoderScanStep(nn.Module):
             "non-finite output in module=decoder at rollout step t={t}",
             t=t,
         )
-        y_hat_t = unflatten(output, graph, shape, fill=0.0)
+        if batched:
+            # (n, B, 1) → (B, rows, cols, 1): per-sample emission; also the
+            # remesh criterion stack (batch-max, see do_remesh)
+            y_hat_t = jnp.moveaxis(
+                unflatten_nb(output, graph, shape, fill=0.0), 2, 0
+            )
+        else:
+            y_hat_t = unflatten(output, graph, shape, fill=0.0)
 
         # -- scheduled sampling (ref :389-390)
         if self.teacher_forcing_ratio > 0.0:
@@ -384,9 +414,11 @@ class _DecoderScanStep(nn.Module):
             teacher_force = jnp.asarray(False)
 
         def do_remesh(_):
-            # ref seq2seq.py:434-491
+            # ref seq2seq.py:434-491; batched: ONE mesh per step from the
+            # batch-max criterion (batch analogue of the builder's
+            # timestep-max, ref graph_functions.py:632)
             base = jnp.where(teacher_force, y_t.astype(y_hat_t.dtype), y_hat_t)
-            frame = add_positional_encoding(base[None])
+            frame = add_positional_encoding(base if batched else base[None])
             new_graph, data = image_to_graph(
                 frame, gcfg, mask=mask, high_interest_region=hir,
                 transform_func=self.transform_func,
@@ -400,7 +432,7 @@ class _DecoderScanStep(nn.Module):
                 )
             return Seq2SeqState(
                 graph=new_graph,
-                x=data[0],
+                x=jnp.moveaxis(data, 0, 1) if batched else data[0],
                 hidden=_transfer_state(hidden, graph, new_graph, shape),
                 cell=_transfer_state(cell, graph, new_graph, shape),
             )
@@ -409,18 +441,22 @@ class _DecoderScanStep(nn.Module):
             # ref seq2seq.py:420-431
             if self.teacher_forcing_ratio > 0.0:
                 teach_pe = add_positional_encoding(
-                    y_t[None].astype(output.dtype)
+                    (y_t if batched else y_t[None]).astype(output.dtype)
                 )
-                teach_nodes = flatten(teach_pe, graph)[0]
-                x_teach = jnp.concatenate(
-                    [teach_nodes,
-                     graph.counts[:, None].astype(output.dtype)],
-                    axis=-1,
-                )
-                x_pred = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
+                if batched:
+                    teach_nodes = jnp.moveaxis(flatten(teach_pe, graph), 0, 1)
+                    counts_col = jnp.broadcast_to(
+                        graph.counts[:, None, None],
+                        teach_nodes.shape[:-1] + (1,),
+                    ).astype(output.dtype)
+                else:
+                    teach_nodes = flatten(teach_pe, graph)[0]
+                    counts_col = graph.counts[:, None].astype(output.dtype)
+                x_teach = jnp.concatenate([teach_nodes, counts_col], axis=-1)
+                x_pred = jnp.concatenate([output, state.x[..., 1:]], axis=-1)
                 x_new = jnp.where(teacher_force, x_teach, x_pred)
             else:
-                x_new = jnp.concatenate([output, state.x[:, 1:]], axis=-1)
+                x_new = jnp.concatenate([output, state.x[..., 1:]], axis=-1)
             return Seq2SeqState(
                 graph=state.graph, x=x_new, hidden=hidden, cell=cell
             )
@@ -515,9 +551,14 @@ class Seq2Seq(nn.Module):
             name="dec",
         )
 
-    def _zeros_state(self):
+    def _zeros_state(self, batch: Optional[int] = None):
+        shape = (
+            (self.gcfg.n_max, self.cfg.hidden_size)
+            if batch is None
+            else (self.gcfg.n_max, batch, self.cfg.hidden_size)
+        )
         zeros = tuple(
-            jnp.zeros((self.gcfg.n_max, self.cfg.hidden_size), self.cfg.cdtype)
+            jnp.zeros(shape, self.cfg.cdtype)
             for _ in range(self.cfg.n_layers)
         )
         return zeros, zeros
@@ -529,10 +570,19 @@ class Seq2Seq(nn.Module):
         high_interest_region: Optional[jnp.ndarray] = None,
         graph_structure: Optional[GraphTensors] = None,
     ) -> Seq2SeqState:
-        """ref seq2seq.py:254-336 (process_inputs)."""
+        """ref seq2seq.py:254-336 (process_inputs).
+
+        ``x`` is (T_in, rows, cols, C) per-sample, or (T_in, B, rows, cols,
+        C) for the shared-mesh batched mode: the whole batch rides ONE mesh
+        per step (criterion = max over the batch, the batch analogue of the
+        builder's timestep-max, ref graph_functions.py:632) and node tensors
+        take the batch-middle (n_max, B, F) layout so aggregations widen
+        with B instead of multiplying dispatches."""
         cfg, gcfg = self.cfg, self.gcfg
         assert x.shape[0] == cfg.input_timesteps
-        h0, c0 = self._zeros_state()
+        batched = x.ndim == 5
+        b = x.shape[1] if batched else None
+        h0, c0 = self._zeros_state(b)
         # compute_dtype boundary: everything downstream (graph build, node
         # features, recurrence) runs in cfg.compute_dtype; predictions are
         # cast back to f32 in decode().
@@ -542,15 +592,21 @@ class Seq2Seq(nn.Module):
             "NaN in graph input x (module=encode; ref "
             "graph_functions.py:626)",
         )
+        t_in = cfg.input_timesteps
+
+        def to_batch_middle(data):
+            # builder data (T·B, n, C) → time-major batch-middle (T, n, B, C)
+            data = data.reshape(t_in, b, gcfg.n_max, -1)
+            return jnp.moveaxis(data, 1, 2)
 
         if cfg.remesh_input and graph_structure is None:
             graph, data = image_to_graph(
-                x_pe[:1], gcfg, mask=mask,
+                x_pe[0] if batched else x_pe[:1], gcfg, mask=mask,
                 high_interest_region=high_interest_region,
                 transform_func=self.transform_func,
             )
-            state = Seq2SeqState(graph=graph, x=data[0], hidden=h0, cell=c0)
-            t_in = cfg.input_timesteps
+            x0 = jnp.moveaxis(data, 0, 1) if batched else data[0]
+            state = Seq2SeqState(graph=graph, x=x0, hidden=h0, cell=c0)
             # frame t's step remeshes onto frame t+1; the last step keeps its
             # mesh (see module docstring on the reference's off-by-one).
             next_frames = jnp.concatenate([x_pe[1:], x_pe[-1:]], axis=0)
@@ -559,12 +615,13 @@ class Seq2Seq(nn.Module):
                 state, (mask, high_interest_region), (next_frames, is_last)
             )
         else:
+            frames = x_pe.reshape((-1,) + x_pe.shape[-3:]) if batched else x_pe
             if graph_structure is not None:
                 # Preset mesh: flatten through it and append node sizes
                 # (ref seq2seq.py:288-294; size divisor hard-codes the base
                 # grid, ref :291).
                 graph = graph_structure
-                flat = flatten(x_pe, graph)
+                flat = flatten(frames, graph)
                 sizes = graph.counts / ((self.preset_node_size_base / 2.0) ** 2)
                 sizes = jnp.broadcast_to(
                     sizes[None, :, None], (flat.shape[0], gcfg.n_max, 1)
@@ -572,10 +629,12 @@ class Seq2Seq(nn.Module):
                 data = jnp.concatenate([flat, sizes.astype(flat.dtype)], -1)
             else:
                 graph, data = image_to_graph(
-                    x_pe, gcfg, mask=mask,
+                    frames, gcfg, mask=mask,
                     high_interest_region=high_interest_region,
                     transform_func=self.transform_func,
                 )
+            if batched:
+                data = to_batch_middle(data)  # (T, n, B, C+1)
             (hidden, cell), _ = self.enc_scan((h0, c0), graph, data)
             state = Seq2SeqState(
                 graph=graph, x=data[-1], hidden=hidden, cell=cell
@@ -584,7 +643,7 @@ class Seq2Seq(nn.Module):
         # Decoder seed: [value, pos_x, pos_y, node_size] (ref :336).
         n_feats = state.x.shape[-1]
         seed_cols = jnp.asarray([0, n_feats - 3, n_feats - 2, n_feats - 1])
-        return state.replace(x=state.x[:, seed_cols])
+        return state.replace(x=state.x[..., seed_cols])
 
     def decode(
         self,
@@ -597,8 +656,13 @@ class Seq2Seq(nn.Module):
         high_interest_region: Optional[jnp.ndarray] = None,
     ) -> Tuple[Seq2SeqState, jnp.ndarray]:
         """ref seq2seq.py:339-398 (unroll_output). Returns
-        (state, y_hat (n_steps, rows, cols, 1))."""
+        (state, y_hat (n_steps, rows, cols, 1)); shared-mesh batched states
+        (batch-middle ``state.x``) take time-major batched ``y``/
+        ``concat_layers`` (n_steps, B, rows, cols, 1) and return y_hat in
+        the same layout."""
         rows, cols = self.gcfg.image_shape
+        batched = state.x.ndim == 3
+        bshape = (state.x.shape[1],) if batched else ()
         if state.graph.overflow is None:
             # hand-built meshes (e.g. custom graph_structure) may omit the
             # counter; normalise so the scan carry structure is stable when
@@ -612,9 +676,12 @@ class Seq2Seq(nn.Module):
         clim = (
             concat_layers
             if concat_layers is not None
-            else jnp.zeros((n_steps, rows, cols, 1))
+            else jnp.zeros((n_steps,) + bshape + (rows, cols, 1))
         )
-        y_xs = y if y is not None else jnp.zeros((n_steps, rows, cols, 1))
+        y_xs = (
+            y if y is not None
+            else jnp.zeros((n_steps,) + bshape + (rows, cols, 1))
+        )
 
         remeshing = not self.gcfg.pixelwise
         graph_const = state.graph
@@ -624,7 +691,14 @@ class Seq2Seq(nn.Module):
             # flatten out of the scan (one batched flatten over T_out)
             state = state.replace(graph=None)
             if self.use_climatology:
-                clim = flatten(clim, graph_const)
+                if batched:
+                    t_out = clim.shape[0]
+                    flat = flatten(
+                        clim.reshape((-1,) + clim.shape[-3:]), graph_const
+                    ).reshape(t_out, bshape[0], self.gcfg.n_max, -1)
+                    clim = jnp.moveaxis(flat, 1, 2)  # (T, n, B, 1)
+                else:
+                    clim = flatten(clim, graph_const)
         state, y_hat = self.dec_scan(
             state, (mask, high_interest_region, graph_const), (ts, clim, y_xs)
         )

@@ -168,7 +168,7 @@ def edge_softmax(
 
     Invalid lanes get exactly 0; empty destinations produce no NaNs.
     """
-    v = edge_valid[:, None] if logits.ndim == 2 else edge_valid
+    v = edge_valid.reshape((-1,) + (1,) * (logits.ndim - 1))
     logits = jnp.where(v, logits, _NEG_BIG)
     seg_max = jax.ops.segment_max(logits, edge_dst, num_segments=n_max + 1)
     # Empty segments give -inf; clamp so gathered differences stay finite.
@@ -230,7 +230,7 @@ def edge_softmax_graph(logits: jnp.ndarray, graph) -> jnp.ndarray:
     from quadtree_mpnnlstm_tpu.ops.csr import csr_segment_max, csr_segment_sum
 
     n, deg = graph.n_max, graph.max_degree
-    v = graph.edge_valid[:, None] if logits.ndim == 2 else graph.edge_valid
+    v = graph.edge_valid.reshape((-1,) + (1,) * (logits.ndim - 1))
     logits = jnp.where(v, logits, _NEG_BIG)
     seg_max = csr_segment_max(logits, graph.edge_dst, n, deg)
     seg_max = jax.lax.stop_gradient(jnp.maximum(seg_max, _NEG_BIG))

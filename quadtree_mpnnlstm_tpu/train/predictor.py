@@ -114,6 +114,7 @@ class NextFramePredictorS2S(NextFramePredictor):
         graph_kwargs: Optional[Dict[str, Any]] = None,
         dp_devices: int = 1,
         train_config=None,
+        shared_mesh: Optional[bool] = None,
     ):
         super().__init__(
             thresh=thresh,
@@ -139,6 +140,14 @@ class NextFramePredictorS2S(NextFramePredictor):
         self.train_config = train_config
         if seed is None:
             seed = train_config.seed if train_config is not None else 21
+        # Shared-mesh batched training (TrainConfig.shared_mesh): explicit
+        # kwarg > train_config > off. Training only — eval/predict keep
+        # per-sample meshes so metrics stay reference-comparable.
+        if shared_mesh is None:
+            shared_mesh = bool(
+                getattr(train_config, "shared_mesh", False)
+            ) if train_config is not None else False
+        self.shared_mesh = shared_mesh
 
         mk = dict(model_kwargs or {})
         self.cfg = ModelConfig(
@@ -398,6 +407,36 @@ class NextFramePredictorS2S(NextFramePredictor):
             return sample_loss
 
         sample_loss = make_sample_loss(model)
+        shared_mesh = self.shared_mesh
+
+        def make_batch_loss(sample_loss):
+            """(params, x(B,T,...), y, clim, keys(B,2,2), ...) → (loss, ovf).
+
+            Default: vmap over per-sample meshes. shared_mesh: ONE call on
+            time-major batched arrays — the whole batch rides one mesh per
+            step in the batch-middle node layout (TrainConfig.shared_mesh;
+            models/seq2seq.py batched paths), so the mesh build amortises
+            over B and aggregations widen instead of re-dispatching.
+            """
+
+            def batch_loss(params, x, y, clim, keys, mask, hir, gs):
+                if shared_mesh:
+                    return sample_loss(
+                        params,
+                        jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1),
+                        jnp.moveaxis(clim, 0, 1),
+                        mask, hir, gs, keys[0],
+                    )
+                losses, ovfs = jax.vmap(
+                    lambda xb, yb, cb, kb: sample_loss(
+                        params, xb, yb, cb, mask, hir, gs, kb
+                    )
+                )(x, y, clim, keys)
+                return jnp.mean(losses), jnp.max(ovfs)
+
+            return batch_loss
+
+        batch_loss_fn = make_batch_loss(sample_loss)
 
         debug = self.debug
         dp = self.dp_devices
@@ -412,12 +451,10 @@ class NextFramePredictorS2S(NextFramePredictor):
 
             def device_fn(params, x, y, clim, keys, mask, hir, gs):
                 def local_loss(params):
-                    losses, ovfs = jax.vmap(
-                        lambda xb, yb, cb, kb: sample_loss(
-                            params, xb, yb, cb, mask, hir, gs, kb
-                        )
-                    )(x, y, clim, keys)
-                    return jnp.mean(losses), jnp.max(ovfs)
+                    # per-shard batch: vmapped per-sample meshes, or one
+                    # shared mesh per shard (shared_mesh)
+                    return batch_loss_fn(params, x, y, clim, keys,
+                                         mask, hir, gs)
 
                 (loss, ovf), grads = jax.value_and_grad(
                     local_loss, has_aux=True
@@ -449,12 +486,8 @@ class NextFramePredictorS2S(NextFramePredictor):
                 )
             else:
                 def batch_loss(params):
-                    losses, ovfs = jax.vmap(
-                        lambda xb, yb, cb, kb: sample_loss(
-                            params, xb, yb, cb, mask, hir, gs, kb
-                        )
-                    )(x, y, clim, keys)
-                    return jnp.mean(losses), jnp.max(ovfs)
+                    return batch_loss_fn(params, x, y, clim, keys,
+                                         mask, hir, gs)
 
                 (loss, ovf), grads = jax.value_and_grad(
                     batch_loss, has_aux=True
@@ -491,18 +524,18 @@ class NextFramePredictorS2S(NextFramePredictor):
             # the replay.
             from jax.experimental import checkify
 
-            debug_sample_loss = make_sample_loss(self.debug_model)
+            debug_batch_loss = make_batch_loss(
+                make_sample_loss(self.debug_model)
+            )
 
             def fwd_loss(params, x, y, clim, mask, hir, gs, rng):
                 keys = jax.random.split(rng, x.shape[0] * 2).reshape(
                     x.shape[0], 2, 2
                 )
-                losses, _ = jax.vmap(
-                    lambda xb, yb, cb, kb: debug_sample_loss(
-                        params, xb, yb, cb, mask, hir, gs, kb
-                    )
-                )(x, y, clim, keys)
-                return jnp.mean(losses)
+                loss, _ = debug_batch_loss(
+                    params, x, y, clim, keys, mask, hir, gs
+                )
+                return loss
 
             checked_fwd = jax.jit(
                 checkify.checkify(fwd_loss, errors=checkify.user_checks)

@@ -19,9 +19,10 @@ def positional_channels(rows: int, cols: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def add_positional_encoding(x: jnp.ndarray) -> jnp.ndarray:
-    """Append (x_pos, y_pos) channels to (n_samples, rows, cols, c)."""
-    assert x.ndim == 4, f"expected (n_samples, rows, cols, c); got {x.shape}"
-    n, rows, cols, _ = x.shape
+    """Append (x_pos, y_pos) channels to (..., rows, cols, c) — any number
+    of leading axes (samples, batch) broadcasts the same grid."""
+    assert x.ndim >= 3, f"expected (..., rows, cols, c); got {x.shape}"
+    rows, cols = x.shape[-3], x.shape[-2]
     pos = positional_channels(rows, cols, dtype=x.dtype)
-    pos = jnp.broadcast_to(pos[None], (n, rows, cols, 2))
+    pos = jnp.broadcast_to(pos, x.shape[:-1] + (2,))
     return jnp.concatenate([x, pos], axis=-1)
