@@ -252,6 +252,16 @@ def main(argv=None):
                         "attention convs through the fused stencil kernel "
                         "(ops/pallas_grid_attn.py; attention-map dumps "
                         "need 'xla')")
+    parser.add_argument("--dp-devices", type=int, default=1,
+                        help="data-parallel devices: the global batch is "
+                        "sharded over a device mesh with pmean gradient "
+                        "all-reduce over ICI (parallel/dp.py); requires "
+                        "batch-size divisible by this")
+    parser.add_argument("--shared-mesh", action="store_true",
+                        help="batched training rides ONE mesh per step in "
+                        "the batch-middle node layout instead of vmapped "
+                        "per-sample meshes (TrainConfig.shared_mesh; only "
+                        "meaningful with --batch-size > 1)")
     parser.add_argument("--results-dir", default=None)
     args = parser.parse_args(argv)
 
@@ -326,6 +336,8 @@ def main(argv=None):
         f"_I{input_timesteps}O{output_timesteps}"
     )
     model = NextFramePredictorS2S(
+        shared_mesh=args.shared_mesh,
+        dp_devices=args.dp_devices,
         image_shape=image_shape,
         thresh=thresh,
         experiment_name=experiment_name,

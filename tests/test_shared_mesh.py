@@ -135,6 +135,40 @@ def test_identical_samples_match_single(conv, fused):
         np.testing.assert_allclose(out[:, i], ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "grid_attn",
+    ["xla", pytest.param("pallas", marks=pytest.mark.slow)],
+)
+def test_grid_backend_identical_samples_match_single(grid_attn):
+    """The flagship's dense grid stencil backend (pixelwise,
+    aggregation='grid') through the batched layout: B copies of one
+    sample == the single-sample rollout (batch folds into the stencil's
+    feature axis / attention heads). Covers both the XLA shift chain and
+    the fused stencil-attention kernel (interpret mode on CPU)."""
+    from quadtree_mpnnlstm_tpu.config import GraphConfig, ModelConfig
+
+    gcfg = GraphConfig(image_shape=SHAPE, thresh=float("-inf"),
+                       aggregation="grid", use_edge_attrs=True,
+                       grid_attn=grid_attn)
+    cfg = ModelConfig(
+        hidden_size=6, input_features=1, input_timesteps=T_IN,
+        output_timesteps=T_OUT, n_layers=1, n_conv_layers=1,
+        convolution_type="TransformerConv", rnn_type="LSTM",
+        fused_gates=False,
+    )
+    model = Seq2Seq(cfg, gcfg)
+    x, y = data(51)
+    params = model.init(jax.random.PRNGKey(5), x)
+    ref = np.asarray(rollout(model, params, x, y))
+
+    b = 3
+    xb = jnp.broadcast_to(x[:, None], (T_IN, b, *SHAPE, 1))
+    yb = jnp.broadcast_to(y[:, None], (T_OUT, b, *SHAPE, 1))
+    out = np.asarray(rollout(model, params, xb, yb))
+    for i in range(b):
+        np.testing.assert_allclose(out[:, i], ref, rtol=2e-4, atol=2e-5)
+
+
 def test_distinct_samples_fixed_mesh_match_vmap():
     """thresh=-inf ⇒ the mesh is data-independent, so the shared mesh IS
     each sample's own mesh and the batched loss/grads must equal the
@@ -167,6 +201,22 @@ def test_distinct_samples_fixed_mesh_match_vmap():
         )
 
 
+def test_remesh_every_batched_runs():
+    """remesh_every>1 takes the real lax.cond branch in shared-mesh mode
+    (no vmap ⇒ no both-branches select); both branches must handle the
+    batch-middle layout."""
+    model = build(conv="GCNConv", remesh_every=2)
+    x0, _ = data(41)
+    params = model.init(jax.random.PRNGKey(4), x0)
+    x, y = data(42, batch=2)
+    state = model.apply(params, x, method=Seq2Seq.encode)
+    _, y_hat = model.apply(
+        params, state, 0, T_OUT, y, None, None, None, method=Seq2Seq.decode
+    )
+    assert y_hat.shape == (T_OUT, 2, *SHAPE, 1)
+    assert np.isfinite(np.asarray(y_hat)).all()
+
+
 def test_teacher_forcing_batched_runs():
     """Scheduled sampling in the shared-mesh layout (one draw per step for
     the whole batch — deviation from per-sample draws, documented)."""
@@ -184,6 +234,38 @@ def test_teacher_forcing_batched_runs():
 
 
 # ------------------------------------------------------ trainer integration
+
+
+@pytest.mark.slow
+def test_trainer_shared_mesh_tbptt_step():
+    """Shared-mesh composes with chunked-re-encode TBPTT (the chunk slices
+    run on the time axis, which stays axis 0 in the batched layout)."""
+    import jax as _jax
+
+    from quadtree_mpnnlstm_tpu.train.predictor import NextFramePredictorS2S
+
+    pred = NextFramePredictorS2S(
+        image_shape=SHAPE, thresh=0.3, input_timesteps=T_IN,
+        output_timesteps=T_OUT,
+        model_kwargs=dict(hidden_size=6, n_layers=1, n_conv_layers=1,
+                          convolution_type="GCNConv", rnn_type="LSTM"),
+        graph_kwargs=dict(max_grid_size=4),
+        shared_mesh=True,
+    )
+    pred.initiate_training(lr=1e-3, lr_decay=0.99)
+    step = pred._get_train_step(False, 2)  # 2-step TBPTT chunks
+    rng = np.random.default_rng(6)
+    b = 2
+    x = jnp.asarray(rng.random((b, T_IN, *SHAPE, 1)).astype(np.float32))
+    y = jnp.asarray(rng.random((b, T_OUT, *SHAPE, 1)).astype(np.float32))
+    clim = jnp.zeros((b, T_OUT, *SHAPE, 1))
+    mask = jnp.zeros(SHAPE, bool)
+    params, opt, loss, aux = step(
+        pred.params, pred.opt_state, x, y, clim, mask, mask, None,
+        _jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
+    assert int(aux["mesh_overflow"]) == 0
 
 
 @pytest.mark.slow
