@@ -162,10 +162,11 @@ def _probe_backend(timeout_s=PROBE_TIMEOUT_S):
 
 
 def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
-                   conv="ChebConv"):
+                   conv="ChebConv", shared_mesh=False):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     return NextFramePredictorS2S(
+        shared_mesh=shared_mesh,
         image_shape=CANVAS,
         thresh=0.1,
         experiment_name="bench",
@@ -190,7 +191,8 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
 
 
 def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
-            detail_out=None, remat=True, conv="ChebConv"):
+            detail_out=None, remat=True, conv="ChebConv",
+            shared_mesh=False):
     """frames/sec for one configuration (fwd+bwd+Adam, host-synced).
 
     ``detail_out``: optional dict that receives step_ms, the compiled
@@ -208,7 +210,8 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
         canvas_size=CANVAS, digit_size=(18, 18), pixel_noise=0.02,
         velocity_noise=0.0, seed=seed,
     )
-    model = make_predictor(batch, agg, devices, dtype, remat, conv)
+    model = make_predictor(batch, agg, devices, dtype, remat, conv,
+                           shared_mesh=shared_mesh)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -307,7 +310,8 @@ def ice_mask(shape=ICE_SHAPE, seed=0):
 def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
                        conv="TransformerConv", budget=16384,
                        fused_gates=True, grid_attn="xla",
-                       adjacency="sort"):
+                       adjacency="sort", shared_mesh=False,
+                       remesh_every=1):
     from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
@@ -334,6 +338,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
             ),
         )
     return NextFramePredictorS2S(
+        shared_mesh=shared_mesh,
         image_shape=ICE_SHAPE,
         experiment_name=f"bench_ice_{mesh}",
         input_features=ICE_VARS,
@@ -344,6 +349,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
             hidden_size=32, dropout=0.1, n_layers=1, n_conv_layers=3,
             rnn_type="LSTM", convolution_type=conv, compute_dtype=dtype,
             remat=remat, fused_gates=fused_gates,
+            remesh_every=remesh_every,
         ),
         **kw,
     )
@@ -352,7 +358,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
 def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
                 seed=0, fused_gates=None, grid_attn="xla",
-                adjacency="sort"):
+                adjacency="sort", shared_mesh=False, remesh_every=1):
     """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
     if fused_gates is None:
         # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
@@ -384,7 +390,9 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
 
     model = make_ice_predictor(mesh, dtype, remat, conv,
                                fused_gates=fused_gates,
-                               grid_attn=grid_attn, adjacency=adjacency)
+                               grid_attn=grid_attn, adjacency=adjacency,
+                               shared_mesh=shared_mesh,
+                               remesh_every=remesh_every)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -505,6 +513,19 @@ def main():
                     help="quadtree edge dedup: sort = lexicographic "
                     "(dst,src) sort; csum = sort-free canonical counting "
                     "scatter (graph/adjacency.py; ice-quadtree workload)")
+    ap.add_argument("--remesh-every", type=int, default=1,
+                    help="remesh cadence for the quadtree workloads "
+                    "(ModelConfig.remesh_every; the reference remeshes "
+                    "every step — >1 is a documented perf escape; note "
+                    "under vmapped per-sample meshes the lax.cond lowers "
+                    "to a both-branches select, so pair with "
+                    "--shared-mesh for real savings)")
+    ap.add_argument("--shared-mesh", action="store_true",
+                    help="batched training rides ONE mesh per step in the "
+                    "batch-middle (n, B, F) node layout instead of vmapped "
+                    "per-sample meshes (TrainConfig.shared_mesh) — the "
+                    "mesh build amortises over B and aggregations widen "
+                    "instead of re-dispatching")
     ap.add_argument("--no-fused-gates", action="store_true",
                     help="per-gate vmapped conv stacks instead of the "
                     "fused gate stacks (A/B knob)")
@@ -524,6 +545,12 @@ def main():
                     help="skip the subprocess backend probe (saves ~15s "
                     "when the backend is known-good)")
     args = ap.parse_args()
+
+    # BENCH_FORCE_CPU must take effect before ANYTHING initializes the
+    # default backend (the persistent-cache gate calls
+    # jax.default_backend(), which hangs forever on a dead axon tunnel —
+    # exactly what a CPU-forced run must never touch).
+    _maybe_force_cpu()
 
     _install_watchdog(args.budget)
     if not args.no_probe:
@@ -552,12 +579,17 @@ def main():
                           remat=remat, detail_out=d,
                           fused_gates=False if args.no_fused_gates else None,
                           grid_attn=args.grid_attn,
-                          adjacency=args.adjacency)
+                          adjacency=args.adjacency,
+                          shared_mesh=args.shared_mesh,
+                          remesh_every=args.remesh_every)
         print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
         EMITTER.set_headline({
             "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "
                       f"(224x304, T_out=90, TransformerConv, {mesh}, "
-                      f"dtype={args.dtype})",
+                      f"dtype={args.dtype}"
+                      + (", shared-mesh" if args.shared_mesh else "")
+                      + (f", remesh-every={args.remesh_every}"
+                         if args.remesh_every != 1 else "") + ")",
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / BASELINE_ICE_FPS, 2),
@@ -592,12 +624,13 @@ def main():
     batch = args.batch or 16
     fps = measure(batch, args.agg, args.steps,
                   devices=args.devices, dtype=args.dtype, remat=remat,
-                  conv=args.conv)
+                  conv=args.conv, shared_mesh=args.shared_mesh)
     EMITTER.set_headline(
         {
             "metric": "frames/sec/chip, Moving-MNIST 64x64 seq2seq "
             f"training (quadtree thresh=0.1, remesh/step, {args.conv}, "
-            f"agg={args.agg}, dtype={args.dtype})",
+            f"agg={args.agg}, dtype={args.dtype}"
+            + (", shared-mesh" if args.shared_mesh else "") + ")",
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / baseline, 2),
