@@ -664,6 +664,16 @@ def main():
         print(f"[full] agg=pallas bf16 batch={b}: {f_:.1f} f/s {d}",
               file=sys.stderr)
         _flush_detail()
+    # shared-mesh batched rows (one mesh per step, batch-middle layout) —
+    # the round-4 answer to the per-sample-mesh batch plateau
+    for b in (8, 32):
+        d = {}
+        f_ = measure(b, "pallas", args.steps, dtype="bfloat16",
+                     shared_mesh=True, detail_out=d)
+        detail[f"pallas_bf16_shared_b{b}"] = dict(fps=round(f_, 2), **d)
+        print(f"[full] shared-mesh pallas bf16 batch={b}: {f_:.1f} f/s {d}",
+              file=sys.stderr)
+        _flush_detail()
     # the reference's flagship conv at the bench config (fused Pallas
     # attention windows + gates-as-heads stack)
     d = {}
