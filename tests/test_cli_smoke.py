@@ -125,3 +125,31 @@ def test_multires_warmstart_transplant_transformerconv():
     half_shapes = jax.tree.map(lambda a: a.shape, model_half.params)
     assert full_shapes == half_shapes  # graph convs are resolution-agnostic
     model.params = model_half.params  # the exp-3 warm-start assignment
+
+
+def test_bench_dead_backend_contract():
+    """Driver contract when the TPU tunnel is down (round-3 postmortem,
+    BENCH_r03.json rc=124): bench.py must exit 0 and print exactly one
+    parseable JSON line that names the failure and carries the last
+    builder-measured numbers, clearly labeled as not from this run."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # A probe budget no backend can meet -> deterministic dead-backend
+    # path whether or not the tunnel is actually up.
+    env["BENCH_PROBE_TIMEOUT_S"] = "0.01"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert payload["value"] == 0.0
+    assert "error" in payload
+    assert "vs_baseline" in payload
+    last = payload.get("last_known_tpu_fps_not_this_run", {})
+    assert last.get("ice_grid_b1")  # BENCH_DETAIL.json is committed
