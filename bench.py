@@ -177,7 +177,7 @@ def _probe_backend(timeout_s=PROBE_TIMEOUT_S):
 
 
 def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
-                   conv="ChebConv", shared_mesh=False):
+                   conv="ChebConv", shared_mesh=False, hidden=16):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     return NextFramePredictorS2S(
@@ -190,7 +190,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
         input_timesteps=T_IN,
         output_timesteps=T_OUT,
         model_kwargs=dict(
-            hidden_size=16, dropout=0.1, n_layers=2, n_conv_layers=2,
+            hidden_size=hidden, dropout=0.1, n_layers=2, n_conv_layers=2,
             convolution_type=conv, compute_dtype=dtype, remat=remat,
         ),
         # Capacity control: early-training predictions are blurry and
@@ -207,7 +207,7 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
 
 def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
             detail_out=None, remat=True, conv="ChebConv",
-            shared_mesh=False):
+            shared_mesh=False, hidden=16):
     """frames/sec for one configuration (fwd+bwd+Adam, host-synced).
 
     ``detail_out``: optional dict that receives step_ms, the compiled
@@ -226,7 +226,7 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
         velocity_noise=0.0, seed=seed,
     )
     model = make_predictor(batch, agg, devices, dtype, remat, conv,
-                           shared_mesh=shared_mesh)
+                           shared_mesh=shared_mesh, hidden=hidden)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -548,6 +548,10 @@ def main():
                     help="convolution type for the mnist workload "
                     "(ChebConv = historical bench row; TransformerConv = "
                     "the reference's flagship conv)")
+    ap.add_argument("--hidden", type=int, default=16,
+                    help="model hidden size (default 16, the reference's "
+                    "mnist config; 128/256 engage the MXU — see the "
+                    "width-scaling rows in --full)")
     ap.add_argument("--full", action="store_true",
                     help="sweep batches/backends, write BENCH_DETAIL.json")
     ap.add_argument("--measure-baseline", action="store_true",
@@ -639,7 +643,8 @@ def main():
     batch = args.batch or 16
     fps = measure(batch, args.agg, args.steps,
                   devices=args.devices, dtype=args.dtype, remat=remat,
-                  conv=args.conv, shared_mesh=args.shared_mesh)
+                  conv=args.conv, shared_mesh=args.shared_mesh,
+                  hidden=args.hidden)
     EMITTER.set_headline(
         {
             "metric": "frames/sec/chip, Moving-MNIST 64x64 seq2seq "
@@ -687,6 +692,19 @@ def main():
                      shared_mesh=True, detail_out=d)
         detail[f"pallas_bf16_shared_b{b}"] = dict(fps=round(f_, 2), **d)
         print(f"[full] shared-mesh pallas bf16 batch={b}: {f_:.1f} f/s {d}",
+              file=sys.stderr)
+        _flush_detail()
+    # width-scaling rows (VERDICT r4 #6): the reference caps at hidden 32
+    # (ref ice_exp.py:153-162) where the workload is latency/DMA-bound
+    # (~0.01% MFU); these rows show the design off the latency floor —
+    # at hidden 128/256 the gate matmuls are MXU-shaped and MFU/HBM
+    # utilisation report where the framework lands at production widths.
+    for hid in (128, 256):
+        d = {}
+        f_ = measure(8, "pallas", args.steps, dtype="bfloat16",
+                     hidden=hid, detail_out=d)
+        detail[f"pallas_bf16_h{hid}_b8"] = dict(fps=round(f_, 2), **d)
+        print(f"[full] width pallas bf16 hidden={hid} b8: {f_:.1f} f/s {d}",
               file=sys.stderr)
         _flush_detail()
     # the reference's flagship conv at the bench config (fused Pallas

@@ -301,6 +301,11 @@ class TrainConfig:
     # amortises across the batch. Deviation from per-sample meshes (the
     # reference trains batch=1 and has no batch semantics to match);
     # eval/predict stay per-sample. See models/seq2seq.py batched paths.
+    # RNG semantics also deviate from the vmapped path: the batch shares
+    # ONE dropout/sampling key pair per step (the first sample's keys),
+    # so dropout masks are common across the batch and the
+    # teacher-forcing/scheduled-sampling Bernoulli draw is a single
+    # batch-wide scalar per rollout step rather than per-sample draws.
     shared_mesh: bool = False
 
     def replace(self, **kw) -> "TrainConfig":

@@ -96,9 +96,19 @@ def read_netcdf(path) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
                 continue
             if node.ndim == 3 and node.shape[0] == t:
                 arr = node[...].astype(np.float32)
+                # _FillValue compares against the PACKED values (CF §8.1),
+                # so mask before applying scale_factor/add_offset.
                 fill = node.attrs.get("_FillValue")
                 if fill is not None and not np.isnan(np.float32(fill)):
                     arr[arr == np.float32(fill)] = np.nan
+                scale = node.attrs.get("scale_factor")
+                offset = node.attrs.get("add_offset")
+                if scale is not None or offset is not None:
+                    arr = arr * np.float32(
+                        1.0 if scale is None else np.asarray(scale).item()
+                    ) + np.float32(
+                        0.0 if offset is None else np.asarray(offset).item()
+                    )
                 variables[name] = arr
         if not variables:
             raise ValueError(f"{path}: no (time, lat, lon) data variables")

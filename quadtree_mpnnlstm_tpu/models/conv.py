@@ -326,8 +326,16 @@ def multi_stream_attention(
     alpha = edge_softmax_graph(logits, graph)
     used = alpha
     if rng is not None and not deterministic and dropout > 0.0:
-        keep = jax.random.bernoulli(
-            rng, 1.0 - dropout, alpha.shape
+        # Keyed by (src, dst) node ids, NOT edge-slot index, so the mask
+        # is identical whichever adjacency backend ('sort' vs 'csum',
+        # graph/adjacency.py) ordered the slots — training trajectories
+        # are backend-independent (tests/test_adjacency_csum.py).
+        def _edge_keep(s, t):
+            ek = jax.random.fold_in(jax.random.fold_in(rng, s), t)
+            return jax.random.bernoulli(ek, 1.0 - dropout, (heads,))
+
+        keep = jax.vmap(_edge_keep)(
+            graph.edge_src, graph.edge_dst
         ).astype(alpha.dtype) / (1.0 - dropout)
         used = alpha * keep
     out = aggregate_to_dst(used[..., None] * vj, graph)
@@ -377,12 +385,18 @@ class TransformerConv(nn.Module):
             q, k, v, we, graph, (b * h) if batched else h, d,
             dropout=self.dropout, deterministic=deterministic, rng=rng,
         )
-        if alpha is not None and not batched:
+        if alpha is not None:
             # Debug side channel (ref model.py:79-93): per-edge α via flax
             # sow, materialised under mutable=["intermediates"]. The fused
             # Pallas path never materialises α (flash-style) — use
-            # aggregation='xla' for attention-map dumps.
-            self.sow("intermediates", "alpha", alpha)
+            # aggregation='xla' for attention-map dumps. Batched
+            # (shared-mesh) runs sow (E, B, h) — samples ride as extra
+            # heads internally but the dump keeps the batch axis explicit.
+            self.sow(
+                "intermediates", "alpha",
+                alpha.reshape(alpha.shape[:-1] + (b, h)) if batched
+                else alpha,
+            )
 
         if batched:
             out = out.reshape(n, b, h, d)

@@ -271,7 +271,7 @@ def spmm_build_blocks(
 
 def _apply_kernel(sw: int, precision):
     def kernel(s0_ref, live_ref, m_ref, z_ref, out_ref):
-        t = pl.program_id(0)
+        t = pl.program_id(0)  # (tile, f-tile) grid; f handled by BlockSpec
 
         @pl.when(t < live_ref[0, 0])
         def _mul():
@@ -297,8 +297,18 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
     t = meta.blocks.shape[0]
     np_ = t * nt
     f = z.shape[-1]
-    fp = _round_up(f, 128)
     zrows = max(_z_rows(np_, sw), sw)
+    # Feature-axis tiling: z used to sit fully resident in VMEM, which
+    # blows the 16 MiB scoped budget for very wide stacks (shared-mesh
+    # batched gates reach F = B·2G·h·d — 2048×4096 bf16 = 16 MiB on its
+    # own). Cap the per-program z block at ~6 MiB and sweep f-tiles as the
+    # second grid axis; the Â block is re-fetched per f-tile (small, and
+    # Mosaic overlaps the DMA with the previous tile's matmul).
+    budget = 6 * 2**20
+    ft = max(128, min(2048, budget // (zrows * z.dtype.itemsize)) & ~127)
+    ft = min(ft, _round_up(f, 128))  # never pad past the old 128 granule
+    fp = _round_up(f, ft)
+    n_ft = fp // ft
     z_p = jnp.zeros((zrows, fp), z.dtype).at[:n_max, :f].set(z[:n_max])
 
     # bf16 operands feed the MXU natively (f32 accumulation via
@@ -311,18 +321,18 @@ def _spmm_impl(z, meta: SpmmBlocks, n_max, nt, sw):
     )
     out = pl.pallas_call(
         _apply_kernel(sw, precision),
-        grid=(t,),
+        grid=(t, n_ft),
         in_specs=[
-            pl.BlockSpec((t, 1), lambda i: (0, 0),
+            pl.BlockSpec((t, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),             # s0
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),             # live tiles
-            pl.BlockSpec((1, nt, sw), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, nt, sw), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # Â block
-            pl.BlockSpec((zrows, fp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),             # z (resident)
+            pl.BlockSpec((zrows, ft), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),             # z f-slab
         ],
-        out_specs=pl.BlockSpec((nt, fp), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((nt, ft), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((np_, fp), z.dtype),
         interpret=jax.default_backend() == "cpu",
     )(meta.s0, meta.live, meta.blocks.astype(z.dtype), z_p)

@@ -528,10 +528,7 @@ class NextFramePredictorS2S(NextFramePredictor):
                 make_sample_loss(self.debug_model)
             )
 
-            def fwd_loss(params, x, y, clim, mask, hir, gs, rng):
-                keys = jax.random.split(rng, x.shape[0] * 2).reshape(
-                    x.shape[0], 2, 2
-                )
+            def fwd_loss(params, x, y, clim, keys, mask, hir, gs):
                 loss, _ = debug_batch_loss(
                     params, x, y, clim, keys, mask, hir, gs
                 )
@@ -547,14 +544,30 @@ class NextFramePredictorS2S(NextFramePredictor):
                     params, opt_state, x, y, clim, mask, hir, gs, rng
                 )
                 if not np.isfinite(float(out[2])):
-                    err, _ = checked_fwd(
-                        params, x, y, clim, mask, hir, gs, rng
+                    # Replay per DP shard so the checked forward sees the
+                    # same batch partitioning as the training step: under
+                    # shard_map each shard runs batch_loss_fn on its own
+                    # contiguous slice of (x, keys, …), and with shared_mesh
+                    # the mesh/rng are per-shard (keys[shard_start]) — a
+                    # single global replay would use a different mesh and
+                    # rng and could miss the NaN entirely.
+                    keys = jax.random.split(rng, x.shape[0] * 2).reshape(
+                        x.shape[0], 2, 2
                     )
-                    err.throw()  # names the failing module / rollout step
+                    n_shards = dp if dp > 1 else 1
+                    per = x.shape[0] // n_shards
+                    for i in range(n_shards):
+                        sl = slice(i * per, (i + 1) * per)
+                        err, _ = checked_fwd(
+                            params, x[sl], y[sl], clim[sl], keys[sl],
+                            mask, hir, gs
+                        )
+                        err.throw()  # names failing module / rollout step
                     raise ValueError(
-                        "non-finite loss but all forward checks passed — "
-                        "the NaN arose in the backward pass or the "
-                        "optimizer update"
+                        "non-finite loss but all forward checks passed "
+                        f"across {n_shards} shard replay(s) — the NaN "
+                        "arose in the backward pass or the optimizer "
+                        "update"
                     )
                 return out
         else:

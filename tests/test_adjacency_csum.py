@@ -197,6 +197,95 @@ def test_csum_train_step_matches_sort():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+def test_dropout_mask_is_slot_order_independent():
+    """Attention dropout (the ref's TransformerConv registry hard-codes
+    dropout=0.1, ref model.py:49-57) is keyed by (src, dst) node ids, NOT
+    edge-slot index (models/conv.py edge-list path), so training forwards
+    AND gradients agree across adjacency backends to float-reorder
+    tolerance — the one thing 'sort' vs 'csum' legitimately order
+    differently, slot order, no longer enters the trajectory. (Post-Adam
+    params are NOT compared: for near-zero grads the first Adam step is
+    lr·g/(|g|+ε), which amplifies ~1e-10 reorder noise into visible
+    updates — an optimizer property, not a backend semantics one.)"""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+
+    shape = (16, 16)
+    rng = np.random.default_rng(7)
+    img = add_positional_encoding(
+        jnp.asarray(rng.random((2, *shape, 1), np.float32))
+    )
+    graphs = {
+        adj: _build(img, None, 0.1, adj, shape, max_grid=4)[0]
+        for adj in ("sort", "csum")
+    }
+    # the two backends really do order slots differently (else no test)
+    s, c = graphs["sort"], graphs["csum"]
+    assert not np.array_equal(np.asarray(s.edge_src),
+                              np.asarray(c.edge_src))
+
+    h, d = 2, 4
+    n = s.n_max
+    q = jnp.asarray(rng.random((n, h * d), np.float32))
+    k = jnp.asarray(rng.random((n, h * d), np.float32))
+    v = jnp.asarray(rng.random((n, h * d), np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def f(q, k, v, g):
+        out, _ = multi_stream_attention(
+            q, k, v, None, g, h, d,
+            dropout=0.3, deterministic=False, rng=key,
+        )
+        return jnp.sum(out ** 2)
+
+    outs = {}
+    for adj, g in graphs.items():
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v, g)
+        outs[adj] = (float(val), grads)
+    np.testing.assert_allclose(outs["sort"][0], outs["csum"][0], rtol=1e-5)
+    for gs_, gc_ in zip(outs["sort"][1], outs["csum"][1]):
+        np.testing.assert_allclose(
+            np.asarray(gs_), np.asarray(gc_), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_csum_transformer_train_step_loss_matches_sort():
+    """TransformerConv training step with attention dropout ACTIVE: the
+    loss (forward through dropout) matches across adjacency backends —
+    with slot-indexed masks it would not, since the backends order edge
+    slots differently."""
+
+    def one(adjacency):
+        from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
+
+        model = NextFramePredictorS2S(
+            image_shape=(16, 16), thresh=0.1, decompose=True,
+            input_features=1, input_timesteps=2, output_timesteps=3,
+            model_kwargs=dict(hidden_size=8, n_layers=1, n_conv_layers=1,
+                              convolution_type="TransformerConv",
+                              dropout=0.1),
+            graph_kwargs=dict(max_grid_size=4, n_max=256, e_max=2048,
+                              adjacency=adjacency),
+        )
+        model.initiate_training(lr=0.01, lr_decay=0.95)
+        step = model._get_train_step(False, 0)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((2, 2, 16, 16, 1), np.float32))
+        y = jnp.asarray(rng.random((2, 3, 16, 16, 1), np.float32))
+        clim = jnp.zeros((2, 3, 16, 16, 1))
+        mask = jnp.zeros((16, 16), bool)
+        _, _, loss, aux = step(
+            model.params, model.opt_state, x, y, clim, mask, mask, None,
+            jax.random.PRNGKey(0),
+        )
+        return float(loss), int(aux["mesh_overflow"])
+
+    loss_s, ovf_s = one("sort")
+    loss_c, ovf_c = one("csum")
+    assert ovf_s == ovf_c == 0
+    np.testing.assert_allclose(loss_s, loss_c, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_csum_transformer_forward_matches_sort():
     """Deterministic TransformerConv rollout (encode + 3 remeshing decode

@@ -234,6 +234,38 @@ def test_netcdf_roundtrip_to_gridded(tmp_path):
     assert np.isnan(ds.variables["siconc"][:, mask]).all()
 
 
+def test_netcdf_packed_variable_decodes(tmp_path):
+    """CF scale_factor/add_offset packing (what ERA5 downloads actually
+    ship) decodes to physical units, with _FillValue masked on the PACKED
+    values (CF §8.1) before unpacking."""
+    import h5py
+
+    from quadtree_mpnnlstm_tpu.data.netcdf_io import read_netcdf
+
+    path = tmp_path / "packed.nc"
+    t, shape = 4, (3, 5)
+    phys = np.linspace(250.0, 300.0, t * shape[0] * shape[1]).reshape(
+        t, *shape
+    ).astype(np.float32)
+    scale, offset = 0.001, 275.0
+    packed = np.round((phys - offset) / scale).astype(np.int16)
+    packed[0, 0, 0] = -32767  # fill
+    with h5py.File(path, "w") as f:
+        tv = f.create_dataset("time", data=np.arange(t, dtype=np.float64))
+        tv.attrs["units"] = np.bytes_("days since 2000-01-01")
+        d = f.create_dataset("t2m", data=packed)
+        d.attrs["scale_factor"] = np.float64(scale)
+        d.attrs["add_offset"] = np.float64(offset)
+        d.attrs["_FillValue"] = np.int16(-32767)
+    variables, times = read_netcdf(path)
+    arr = variables["t2m"]
+    assert np.isnan(arr[0, 0, 0])
+    got = arr[np.isfinite(arr)]
+    want = phys.ravel()[1:]
+    np.testing.assert_allclose(got, want, atol=scale)
+    assert times[0] == np.datetime64("2000-01-01")
+
+
 @pytest.mark.slow
 def test_netcdf_to_train_step(tmp_path):
     """File → IceDataset window slicing → one jitted train step."""
