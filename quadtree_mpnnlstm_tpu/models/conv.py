@@ -27,6 +27,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+try:  # private path — the public alias was deprecated in jax 0.4.x
+    from jax._src.interpreters.batching import BatchTracer as _BatchTracer
+except ImportError:  # pragma: no cover
+    _BatchTracer = ()
+
+
+def _is_batched_trace(*xs) -> bool:
+    """True when any operand is a vmap BatchTracer (trace-time only)."""
+    return any(
+        isinstance(x, _BatchTracer)
+        or (isinstance(x, jax.core.Tracer)
+            and type(x).__name__ == "BatchTracer")
+        for x in xs if x is not None
+    )
+
 from quadtree_mpnnlstm_tpu.graph.state import GraphTensors
 from quadtree_mpnnlstm_tpu.ops.segment import (
     _NEG_BIG,
@@ -238,6 +253,13 @@ def multi_stream_attention(
         # stacks (e.g. gates-as-heads H = 2·G·heads·d) exceed the budget
         # — those fall back to the XLA chain
         and 8 * graph.agg[1] * graph.agg[2] * heads * d * 4 <= 80 * 2**20
+        # vmap-of-pallas_call (the per-gate nn.vmap cell layout, or the
+        # per-sample batched trainer) lowers with squeezed mid-axis block
+        # specs Mosaic rejects at these shapes (TPU A/B r5: e_dir block
+        # (Blocked(4), Squeezed, Blocked(32)) fails the (8,128)-divisible
+        # check) — batched traces take the mathematically identical XLA
+        # chain below instead
+        and not _is_batched_trace(q, k, v, we)
     ):
         from quadtree_mpnnlstm_tpu.ops.pallas_grid_attn import (
             GridAttnDims,

@@ -337,3 +337,36 @@ def test_gat_on_grid_falls_back_to_xla(capsys):
     out = step(model.params, model.opt_state, x, y, clim, mask, mask, None,
                jax.random.PRNGKey(0))
     assert np.isfinite(float(out[2]))
+
+
+def test_fused_grid_attn_vmapped_falls_back_to_xla():
+    """vmap-of-pallas_call lowers with squeezed mid-axis block specs that
+    Mosaic rejects on real TPU (round-5 A/B: the per-gate ``nn.vmap`` cell
+    layout crashed ``--grid-attn pallas`` at ice scale). A batched trace of
+    the grid-fused branch must therefore route to the XLA chain — no
+    pallas_call in the jaxpr — and match the per-sample fused results."""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+
+    mask = _mask(seed=11)
+    img = _img(t=1)
+    _, cfg_p = _fused_pair()
+    gp, _ = image_to_graph(img, cfg_p, mask=mask)
+
+    heads, d = 1, 8
+    p = SHAPE[0] * SHAPE[1]
+    rng = np.random.default_rng(12)
+    qb, kb, vb = (jnp.asarray(rng.standard_normal(
+        (3, p, heads * d)).astype(np.float32)) for _ in range(3))
+
+    def f(q, k, v):
+        out, _ = multi_stream_attention(q, k, v, None, gp, heads, d)
+        return out
+
+    assert "pallas_call" not in str(jax.make_jaxpr(jax.vmap(f))(qb, kb, vb))
+    # the unbatched trace still takes the fused kernel
+    assert "pallas_call" in str(jax.make_jaxpr(f)(qb[0], kb[0], vb[0]))
+    out_b = jax.vmap(f)(qb, kb, vb)
+    out_s = jnp.stack([f(qb[i], kb[i], vb[i]) for i in range(3)])
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_s), rtol=1e-4, atol=1e-5
+    )
