@@ -373,7 +373,8 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
 def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
                 seed=0, fused_gates=None, grid_attn="xla",
-                adjacency="sort", shared_mesh=False, remesh_every=1):
+                adjacency="sort", shared_mesh=False, remesh_every=1,
+                trace_dir=None):
     """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
     if fused_gates is None:
         # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
@@ -487,6 +488,16 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 )
         except Exception:
             pass
+    if trace_dir:
+        # Two already-compiled steps under the profiler: enough for per-op
+        # attribution (eval/trace_summary) without skewing the timed fps.
+        with jax.profiler.trace(trace_dir):
+            for i in range(2):
+                params, opt_state, loss, aux = step(
+                    params, opt_state, xs_d[i], ys_d[i], clim,
+                    mask, None, None, key,
+                )
+            jax.block_until_ready(loss)
     return fps
 
 
@@ -563,6 +574,10 @@ def main():
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the subprocess backend probe (saves ~15s "
                     "when the backend is known-good)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="ice workloads: capture a jax.profiler trace of 2 "
+                    "post-measurement steps here and print the top ops by "
+                    "device time (eval/trace_summary)")
     args = ap.parse_args()
 
     # BENCH_FORCE_CPU must take effect before ANYTHING initializes the
@@ -600,7 +615,17 @@ def main():
                           grid_attn=args.grid_attn,
                           adjacency=args.adjacency,
                           shared_mesh=args.shared_mesh,
-                          remesh_every=args.remesh_every)
+                          remesh_every=args.remesh_every,
+                          trace_dir=args.trace_dir)
+        if args.trace_dir:
+            try:
+                from quadtree_mpnnlstm_tpu.eval.trace_summary import (
+                    print_trace_summary,
+                )
+
+                print_trace_summary(args.trace_dir, top=40)
+            except Exception as e:
+                print(f"trace summary failed: {e}", file=sys.stderr)
         print(f"[ice] {mesh}: {fps:.1f} f/s {d}", file=sys.stderr)
         EMITTER.set_headline({
             "metric": "frames/sec/chip, Hudson-Bay-scale seq2seq training "
