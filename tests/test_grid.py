@@ -273,6 +273,56 @@ def test_seq2seq_fused_grid_attn_matches_xla(conv_type="TransformerConv"):
     assert md < 1e-4, md
 
 
+@pytest.mark.parametrize("heads,corners,dropout",
+                         [(1, False, 0.0), (3, True, 0.0), (2, False, 0.4)])
+def test_fused_grid_attn_multiblock_matches_xla(
+    heads, corners, dropout, monkeypatch
+):
+    """Row-block tiling (round-5 VMEM fix for the 224×304 flagship):
+    shrink the planner budget so this small grid is forced through
+    several blocks with halo reassembly, and pin fwd + grads against
+    the XLA chain."""
+    from quadtree_mpnnlstm_tpu.models.conv import multi_stream_attention
+    from quadtree_mpnnlstm_tpu.ops import pallas_grid_attn as pga
+
+    monkeypatch.setattr(pga, "_VMEM_BUDGET", 1)   # 1 row per block
+    dims = pga.GridAttnDims(*SHAPE, 1, 8, 4, False)
+    r_blk, nb = pga._plan_blocks(dims)
+    assert (r_blk, nb) == (1, SHAPE[0])
+
+    mask = _mask(seed=5)
+    img = _img(t=1)
+    cfg_x, cfg_p = _fused_pair(edges_at_corners=corners)
+    gx, _ = image_to_graph(img, cfg_x, mask=mask)
+    gp, _ = image_to_graph(img, cfg_p, mask=mask)
+
+    d = 8
+    p = SHAPE[0] * SHAPE[1]
+    rng = np.random.default_rng(12)
+    q, k, v = (jnp.asarray(rng.standard_normal((p, heads * d)).astype(
+        np.float32)) for _ in range(3))
+    we = jnp.asarray(rng.standard_normal((2, heads * d)).astype(np.float32))
+    key = jax.random.PRNGKey(4) if dropout else None
+
+    def loss(g):
+        def f(q, k, v, we):
+            out, _ = multi_stream_attention(
+                q, k, v, we, g, heads, d,
+                dropout=dropout, deterministic=dropout == 0.0, rng=key,
+            )
+            return jnp.sum(jnp.sin(out) * jnp.arange(p)[:, None, None])
+
+        return f(q, k, v, we), jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, we)
+
+    lx, gradx = loss(gx)
+    lp, gradp = loss(gp)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    for a, b in zip(gradx, gradp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_fused_grid_attn_isolated_pixel():
     """A valid pixel with every neighbour masked has an empty softmax —
     both backends must emit exactly zero aggregation there (the conv's
