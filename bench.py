@@ -326,7 +326,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
                        conv="TransformerConv", budget=16384,
                        fused_gates=True, grid_attn="xla",
                        adjacency="sort", shared_mesh=False,
-                       remesh_every=1):
+                       remesh_every=1, attn_eb=1024, attn_sw=1024):
     from quadtree_mpnnlstm_tpu.cli.ice_exp import dist_from_05
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
@@ -348,7 +348,7 @@ def make_ice_predictor(mesh="pixelwise", dtype="bfloat16", remat=True,
             graph_kwargs=dict(
                 max_grid_size=8, n_max=budget, e_max=8 * budget,
                 node_budget=budget, aggregation=agg,
-                agg_nt=128, agg_eb=2048, agg_sw=2048,
+                agg_nt=128, agg_eb=attn_eb, agg_sw=attn_sw,
                 adjacency=adjacency,
             ),
         )
@@ -374,7 +374,8 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
                 remat=True, conv="TransformerConv", detail_out=None,
                 seed=0, fused_gates=None, grid_attn="xla",
                 adjacency="sort", shared_mesh=False, remesh_every=1,
-                trace_dir=None):
+                trace_dir=None, node_budget=16384,
+                attn_eb=1024, attn_sw=1024):
     """frames/sec of the flagship ice-scale training step (fwd+bwd+Adam)."""
     if fused_gates is None:
         # A/B measured (PERF_NOTES round 3): gates-as-heads fusion wins
@@ -405,10 +406,12 @@ def measure_ice(mesh="pixelwise", batch=1, n_steps=4, dtype="bfloat16",
     )
 
     model = make_ice_predictor(mesh, dtype, remat, conv,
+                               budget=node_budget,
                                fused_gates=fused_gates,
                                grid_attn=grid_attn, adjacency=adjacency,
                                shared_mesh=shared_mesh,
-                               remesh_every=remesh_every)
+                               remesh_every=remesh_every,
+                               attn_eb=attn_eb, attn_sw=attn_sw)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
 
@@ -529,6 +532,19 @@ def main():
                     "backend); ice-quadtree = same scale with quadtree+"
                     "remesh; ice-xla = pixelwise on the edge-list backend")
     ap.add_argument("--ice-steps", type=int, default=4)
+    ap.add_argument("--ice-node-budget", type=int, default=16384,
+                    help="quadtree node capacity (padded static shape); "
+                    "probed real meshes peak ~6.6k nodes "
+                    "(baselines/attn_window_probe.py), so 8192 halves "
+                    "every padded shape without coarsening typical "
+                    "frames — overflow stays asserted 0")
+    ap.add_argument("--attn-eb", type=int, default=1024,
+                    help="attention-window edge slots per 128-node tile "
+                    "(default = probed: real-mesh max 711, overflow "
+                    "asserted 0; was 2048 pre-round-5 -> 9.86 f/s)")
+    ap.add_argument("--attn-sw", type=int, default=1024,
+                    help="attention-window source rows per tile (default "
+                    "= probed: max src spread 755, overflow asserted 0)")
     ap.add_argument("--grid-attn", default="xla",
                     choices=["xla", "pallas"],
                     help="grid-backend attention: pallas = fused stencil "
@@ -616,7 +632,9 @@ def main():
                           adjacency=args.adjacency,
                           shared_mesh=args.shared_mesh,
                           remesh_every=args.remesh_every,
-                          trace_dir=args.trace_dir)
+                          trace_dir=args.trace_dir,
+                          node_budget=args.ice_node_budget,
+                          attn_eb=args.attn_eb, attn_sw=args.attn_sw)
         if args.trace_dir:
             try:
                 from quadtree_mpnnlstm_tpu.eval.trace_summary import (
