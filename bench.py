@@ -177,7 +177,8 @@ def _probe_backend(timeout_s=PROBE_TIMEOUT_S):
 
 
 def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
-                   conv="ChebConv", shared_mesh=False, hidden=16):
+                   conv="ChebConv", shared_mesh=False, hidden=16,
+                   agg_eb=1024, agg_sw=1024):
     from quadtree_mpnnlstm_tpu.train import NextFramePredictorS2S
 
     return NextFramePredictorS2S(
@@ -200,14 +201,15 @@ def make_predictor(batch, agg, devices=1, dtype="float32", remat=True,
         # gracefully instead, so 2048-slot capacities are exact by
         # construction; measure() asserts the overflow counter stays 0.
         graph_kwargs=dict(max_grid_size=8, n_max=2048, e_max=10240,
-                          node_budget=2048, agg_sw=1024, aggregation=agg),
+                          node_budget=2048, agg_eb=agg_eb, agg_sw=agg_sw,
+                          aggregation=agg),
         dp_devices=devices,
     )
 
 
 def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
             detail_out=None, remat=True, conv="ChebConv",
-            shared_mesh=False, hidden=16):
+            shared_mesh=False, hidden=16, agg_eb=1024, agg_sw=1024):
     """frames/sec for one configuration (fwd+bwd+Adam, host-synced).
 
     ``detail_out``: optional dict that receives step_ms, the compiled
@@ -226,6 +228,7 @@ def measure(batch, agg, n_steps, devices=1, seed=0, dtype="float32",
         velocity_noise=0.0, seed=seed,
     )
     model = make_predictor(batch, agg, devices, dtype, remat, conv,
+                           agg_eb=agg_eb, agg_sw=agg_sw,
                            shared_mesh=shared_mesh, hidden=hidden)
     model.initiate_training(lr=0.01, lr_decay=0.95)
     step = model._get_train_step(False, 0)
@@ -539,12 +542,14 @@ def main():
                     "every padded shape without coarsening typical "
                     "frames — overflow stays asserted 0")
     ap.add_argument("--attn-eb", type=int, default=1024,
-                    help="attention-window edge slots per 128-node tile "
-                    "(default = probed: real-mesh max 711, overflow "
-                    "asserted 0; was 2048 pre-round-5 -> 9.86 f/s)")
+                    help="window edge slots per 128-node tile (ice "
+                    "attention windows AND mnist SpMM windows; default = "
+                    "probed ice max 711 / mnist max 632, overflow "
+                    "asserted 0; ice shipped 2048 pre-round-5 -> "
+                    "9.86 f/s)")
     ap.add_argument("--attn-sw", type=int, default=1024,
-                    help="attention-window source rows per tile (default "
-                    "= probed: max src spread 755, overflow asserted 0)")
+                    help="window source rows per tile (probed max spread "
+                    "ice 755 / mnist 374, overflow asserted 0)")
     ap.add_argument("--grid-attn", default="xla",
                     choices=["xla", "pallas"],
                     help="grid-backend attention: pallas = fused stencil "
@@ -687,7 +692,8 @@ def main():
     fps = measure(batch, args.agg, args.steps,
                   devices=args.devices, dtype=args.dtype, remat=remat,
                   conv=args.conv, shared_mesh=args.shared_mesh,
-                  hidden=args.hidden)
+                  hidden=args.hidden,
+                  agg_eb=args.attn_eb, agg_sw=args.attn_sw)
     EMITTER.set_headline(
         {
             "metric": "frames/sec/chip, Moving-MNIST 64x64 seq2seq "
